@@ -1,0 +1,21 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so that multi-chip
+sharding (pjit over a Mesh) is exercised without TPU hardware — the TPU
+analog of "multi-node without a cluster" (SURVEY.md §4).
+
+Environment variables must be set before jax is imported anywhere, which is
+why this lives at the top of the root conftest.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,118 @@
+"""KITTI calibration parsing (host-side, numpy).
+
+Capability parity with /root/reference/geometry/calibration.py:10-107 and
+the duplicate parser in /root/reference/pseudo-lidar/utils/PseudoLiDAR.py:12-67
+— the reference has two copies; this module is the single shared one for
+both the training stack and the pseudo-LiDAR serving stack.
+
+Exposes, for KITTI raw-format calib directories:
+  K          — [3, 3] K_02 camera matrix
+  P          — [3, 4] P_rect_02 rectified projection matrix
+  R_rect     — [4, 4] homogeneous rectifying rotation (R_rect_02)
+  T_velo_cam — [4, 4] velodyne -> reference-camera rigid transform
+  T_imu_velo — [4, 4] IMU -> velodyne rigid transform
+  imu_to_cam — [4, 4] R_rect @ T_velo_cam @ T_imu_velo (the composite the
+               dataloader uses, /root/reference/dataloaders.py:155)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def read_calib_file(filepath: str) -> Dict[str, np.ndarray]:
+    """Parse a KITTI calibration text file into {key: float array}.
+
+    Skips non-numeric values (dates). Parity:
+    /root/reference/geometry/calibration.py:70-89.
+    """
+    data: Dict[str, np.ndarray] = {}
+    with open(filepath, "r") as f:
+        for line in f:
+            line = line.rstrip()
+            if not line or ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            try:
+                data[key] = np.array([float(x) for x in value.split()])
+            except ValueError:
+                pass
+    return data
+
+
+def transform_from_rot_trans(rot: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """[R|t] -> 4x4 homogeneous transform."""
+    rot = np.asarray(rot, dtype=np.float64).reshape(3, 3)
+    trans = np.asarray(trans, dtype=np.float64).reshape(3, 1)
+    return np.vstack((np.hstack([rot, trans]), [0.0, 0.0, 0.0, 1.0]))
+
+
+def inverse_rigid_transform(transform: np.ndarray) -> np.ndarray:
+    """Invert a rigid transform: [R|t]^-1 = [R.T | -R.T t].
+
+    Accepts 3x4 or 4x4; returns the same shape.
+    Parity: /root/reference/pseudo-lidar/utils/PseudoLiDAR.py:39-46.
+    """
+    transform = np.asarray(transform, dtype=np.float64)
+    rot_t = transform[:3, :3].T
+    t_inv = -rot_t @ transform[:3, 3]
+    out = np.zeros_like(transform)
+    out[:3, :3] = rot_t
+    out[:3, 3] = t_inv
+    if transform.shape[0] == 4:
+        out[3, 3] = 1.0
+    return out
+
+
+class Calibration:
+    """KITTI raw calibration bundle for one drive date.
+
+    Args:
+      calib_dir: directory (or prefix) containing calib_velo_to_cam.txt,
+        calib_cam_to_cam.txt, and calib_imu_to_velo.txt. Unlike the
+        reference (which requires a trailing separator because it does raw
+        string concatenation, calibration.py:39-41), paths are joined
+        robustly.
+    """
+
+    def __init__(self, calib_dir: str):
+        self.calib_dir = calib_dir
+
+        def path(name: str) -> str:
+            candidate = os.path.join(calib_dir, name)
+            # Tolerate prefix-style paths ("…/2011_09_26" + "calib_x.txt")
+            if not os.path.exists(candidate) and os.path.exists(calib_dir + name):
+                candidate = calib_dir + name
+            return candidate
+
+        velo_to_cam = read_calib_file(path("calib_velo_to_cam.txt"))
+        cam_to_cam = read_calib_file(path("calib_cam_to_cam.txt"))
+        imu_to_velo = read_calib_file(path("calib_imu_to_velo.txt"))
+
+        self.K = cam_to_cam["K_02"].reshape(3, 3)
+        self.P = cam_to_cam["P_rect_02"].reshape(3, 4)
+        self.R_rect = transform_from_rot_trans(
+            cam_to_cam["R_rect_02"], np.zeros(3)
+        )
+        self.T_velo_cam = transform_from_rot_trans(
+            velo_to_cam["R"], velo_to_cam["T"]
+        )
+        self.T_imu_velo = transform_from_rot_trans(
+            imu_to_velo["R"], imu_to_velo["T"]
+        )
+
+    @property
+    def imu_to_cam(self) -> np.ndarray:
+        """Composite IMU -> rectified-camera transform
+        (parity: /root/reference/dataloaders.py:155)."""
+        return self.R_rect @ self.T_velo_cam @ self.T_imu_velo
+
+    @property
+    def intrinsics(self) -> np.ndarray:
+        """[3, 3] intrinsics of the rectified camera 2 (P[:, :3]), the
+        matrix the training stack uses
+        (/root/reference/dataloaders.py:154)."""
+        return self.P[:, :3].copy()

@@ -1,0 +1,110 @@
+"""KITTI OXTS GPS/IMU parsing -> SE(3) world poses (host-side, numpy).
+
+Capability parity with /root/reference/geometry/oxts_parser.py:10-162:
+Mercator projection of lat/lon to metric translation plus Euler-angle
+rotation, producing T_w_imu per packet; also the velodyne .bin loader.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+EARTH_RADIUS_M = 6378137.0
+
+
+class OxtsPacket(NamedTuple):
+    lat: float
+    lon: float
+    alt: float
+    roll: float
+    pitch: float
+    yaw: float
+
+
+def rotx(t: float) -> np.ndarray:
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], dtype=np.float64)
+
+
+def roty(t: float) -> np.ndarray:
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float64)
+
+
+def rotz(t: float) -> np.ndarray:
+    c, s = np.cos(t), np.sin(t)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float64)
+
+
+def pose_from_oxts_packet(packet: OxtsPacket, scale: float) -> np.ndarray:
+    """One OXTS packet -> 4x4 T_w_imu via Mercator projection.
+
+    Parity: /root/reference/geometry/oxts_parser.py:83-102 (+ the
+    transform assembly at :135).
+    """
+    tx = scale * packet.lon * np.pi * EARTH_RADIUS_M / 180.0
+    ty = scale * EARTH_RADIUS_M * np.log(
+        np.tan((90.0 + packet.lat) * np.pi / 360.0)
+    )
+    tz = packet.alt
+    rot = rotz(packet.yaw) @ roty(packet.pitch) @ rotx(packet.roll)
+    pose = np.eye(4, dtype=np.float64)
+    pose[:3, :3] = rot
+    pose[:3, 3] = (tx, ty, tz)
+    return pose
+
+
+def parse_oxts_line(line: str) -> OxtsPacket:
+    """Parse one line of a KITTI oxts/data/*.txt file (first 6 fields)."""
+    values = line.split()
+    return OxtsPacket(*(float(v) for v in values[:6]))
+
+
+def load_oxts_packets_and_poses(oxts_files: Sequence[str]) -> List[np.ndarray]:
+    """Read OXTS files -> list of 4x4 T_w_imu world poses.
+
+    The Mercator scale is fixed from the first packet's latitude, exactly
+    like the reference (/root/reference/geometry/oxts_parser.py:105-139);
+    like the reference, translations are NOT re-origined (the `t - origin`
+    change was left commented out at oxts_parser.py:135) — relative poses
+    cancel the offset downstream.
+    """
+    scale = None
+    poses: List[np.ndarray] = []
+    for filename in oxts_files:
+        with open(filename, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                packet = parse_oxts_line(line)
+                if scale is None:
+                    scale = np.cos(packet.lat * np.pi / 180.0)
+                poses.append(pose_from_oxts_packet(packet, scale))
+    return poses
+
+
+def relative_pose_6dof(
+    origin_world: np.ndarray, target_world: np.ndarray, imu_to_cam: np.ndarray
+) -> np.ndarray:
+    """Camera-frame relative odometry as a 6-vector [0,0,0, tx,ty,tz].
+
+    odo = imu_to_cam @ origin^-1 @ target @ imu_to_cam^-1, then the
+    translation is concatenated after a zeroed rotation block — matching
+    the reference's semi-supervised pose target assembly
+    (/root/reference/dataloaders.py:65-69,108-116, which zeroes the euler
+    angles at :116).
+    """
+    odo = imu_to_cam @ np.linalg.inv(origin_world) @ target_world @ np.linalg.inv(
+        imu_to_cam
+    )
+    return np.concatenate([np.zeros(3), odo[:3, 3]]).astype(np.float32)
+
+
+def load_velo_scan(filename: str) -> np.ndarray:
+    """Load a KITTI velodyne .bin scan -> [N, 4] (x, y, z, reflectance).
+
+    Parity: /root/reference/geometry/oxts_parser.py:153-156."""
+    return np.fromfile(filename, dtype=np.float32).reshape(-1, 4)

@@ -1,0 +1,68 @@
+"""Differentiable inverse warping — the heart of the photometric loss.
+
+Parity: /root/reference/geometry/pose_geometry.py:70-95 (disp_to_depth) and
+:201-228 (inverse_warp = reconstruct -> transform -> project -> grid_sample).
+
+TPU design: the whole chain (backprojection einsum, 4x4 pose product,
+projection einsum, bilinear gather, photometric difference) is one jitted
+dataflow graph with static shapes, so XLA fuses everything around the
+single gather. No per-frame Python loops survive tracing — the caller
+vectorizes over (frames, scales) with stacked tensors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_pseuso_lidar_tpu.geometry.camera import backproject, project
+from unsupervised_pseuso_lidar_tpu.geometry.se3 import pose_matrix
+from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
+
+def disp_to_depth(disp: jax.Array, alpha: float = 10.0, beta: float = 0.01) -> jax.Array:
+    """Network sigmoid output -> depth: D = 1 / (alpha * disp + beta).
+
+    Parity: /root/reference/geometry/pose_geometry.py:70-95, minus the
+    nested list-of-lists plumbing (callers map this over pytrees instead).
+    """
+    return 1.0 / (alpha * disp + beta)
+
+
+def depth_to_disp(
+    depth: jax.Array, alpha: float = 10.0, beta: float = 0.01
+) -> jax.Array:
+    """Inverse of disp_to_depth (for checkpoint/eval round trips)."""
+    return (1.0 / depth - beta) / alpha
+
+
+def inverse_warp(
+    img: jax.Array,
+    depth: jax.Array,
+    pose: jax.Array,
+    intrinsics: jax.Array,
+    invert_pose: bool = False,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Warp a source image into the target frame via target depth + pose.
+
+    Args:
+      img: [B, H, W, 3] source image (where pixels are sampled from).
+      depth: [B, H, W] target-frame depth map.
+      pose: [B, 6] 6-DoF pose (axis-angle[3], translation[3]), target->source.
+      intrinsics: [B, 3, 3] or [3, 3] camera intrinsics.
+      invert_pose: statically-known flag — use the inverted pose (the
+        reference's pose_inv argument, pose_geometry.py:222-223).
+      padding_mode: sampling padding ('zeros' to match the reference).
+    Returns:
+      [B, H, W, 3] the source image warped onto the target image plane.
+
+    Parity: /root/reference/geometry/pose_geometry.py:201-228. The
+    rotation is interpreted as axis-angle through
+    transformation_from_parameters (pose_geometry.py:219-220), despite the
+    reference signature's 'euler' default naming.
+    """
+    cam_points = backproject(depth, intrinsics)  # [B,H,W,3]
+    transform = pose_matrix(pose, invert=invert_pose)  # [B,4,4]
+    coords = project(cam_points, intrinsics, transform)  # [B,H,W,2]
+    return grid_sample(img, coords, align_corners=True, padding_mode=padding_mode)

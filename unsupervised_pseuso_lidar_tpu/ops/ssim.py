@@ -1,0 +1,52 @@
+"""SSIM structural-similarity distance (NHWC, VPU-friendly).
+
+Parity: /root/reference/losses.py:13-54 (SSIM.standard_loss): 3x3 average
+pooling at stride 1 over reflection-padded inputs, C1=1e-4, C2=9e-4, and
+the final clamp((1 - ssim) / 2, 0, 1).
+
+TPU design: the five pooled moments are computed with a single fused
+reduce-window pattern (separable 3x3 box filter as two 1D averages) —
+pure elementwise + shift work that XLA keeps entirely in registers/VMEM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _box3x3_reflect(x: jax.Array) -> jax.Array:
+    """3x3 mean filter with reflection padding, output same H, W.
+
+    Separable: row average then column average of the reflect-padded map.
+    """
+    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    horiz = (pad[:, :, :-2, :] + pad[:, :, 1:-1, :] + pad[:, :, 2:, :]) / 3.0
+    return (horiz[:, :-2, :, :] + horiz[:, 1:-1, :, :] + horiz[:, 2:, :, :]) / 3.0
+
+
+def ssim_distance(
+    x: jax.Array,
+    y: jax.Array,
+    c1: float = 1e-4,
+    c2: float = 9e-4,
+) -> jax.Array:
+    """Per-pixel SSIM distance in [0, 1] between two NHWC images.
+
+    Returns clamp((1 - SSIM(x, y)) / 2, 0, 1) with the same constants and
+    3x3 reflect-padded average pooling as the reference.
+    """
+    mu_x = _box3x3_reflect(x)
+    mu_y = _box3x3_reflect(y)
+    mu_xy = mu_x * mu_y
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+
+    sigma_x = _box3x3_reflect(x * x) - mu_xx
+    sigma_y = _box3x3_reflect(y * y) - mu_yy
+    sigma_xy = _box3x3_reflect(x * y) - mu_xy
+
+    num = (2.0 * mu_xy + c1) * (2.0 * sigma_xy + c2)
+    den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
+    ssim = num / den
+    return jnp.clip((1.0 - ssim) / 2.0, 0.0, 1.0)
