@@ -19,3 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Full fp32 matmuls for numerical parity checks (prod uses the fast default).
+import jax  # noqa: E402  (must come after the env setup above)
+
+jax.config.update("jax_default_matmul_precision", "highest")

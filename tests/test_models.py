@@ -1,0 +1,154 @@
+"""Model zoo tests: output shapes/ranges, parameter counts vs the reference
+architectures, and torch-oracle equivalence of the torch-compatible layers.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unsupervised_pseuso_lidar_tpu.models import build_model
+from unsupervised_pseuso_lidar_tpu.models.layers import TorchConv, TorchConvTranspose
+
+RNG = np.random.default_rng(1)
+
+
+def _init_and_run(model, *args, train=False, method=None):
+    variables = model.init(jax.random.PRNGKey(0), *args, train=train) \
+        if _accepts_train(model) else model.init(jax.random.PRNGKey(0), *args)
+    if _accepts_train(model):
+        return model.apply(variables, *args, train=train), variables
+    return model.apply(variables, *args), variables
+
+
+def _accepts_train(model):
+    import inspect
+
+    return "train" in inspect.signature(model.__call__).parameters
+
+
+class TestTorchLayers:
+    def test_conv_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        x = RNG.uniform(-1, 1, (2, 12, 16, 5)).astype(np.float32)
+        for k, s in [(3, 1), (3, 2), (5, 2), (7, 2), (1, 1)]:
+            layer = TorchConv(8, k, stride=s)
+            variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+            ours = layer.apply(variables, jnp.asarray(x))
+
+            kern = np.asarray(variables["params"]["Conv_0"]["kernel"])  # HWIO
+            bias = np.asarray(variables["params"]["Conv_0"]["bias"])
+            tconv = torch.nn.Conv2d(5, 8, k, stride=s, padding=(k - 1) // 2)
+            with torch.no_grad():
+                tconv.weight.copy_(
+                    torch.from_numpy(kern).permute(3, 2, 0, 1)
+                )  # OIHW
+                tconv.bias.copy_(torch.from_numpy(bias))
+                theirs = tconv(torch.from_numpy(x).permute(0, 3, 1, 2))
+            np.testing.assert_allclose(
+                np.asarray(ours),
+                theirs.permute(0, 2, 3, 1).numpy(),
+                atol=1e-4,
+            )
+
+    def test_conv_transpose_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        x = RNG.uniform(-1, 1, (2, 6, 8, 4)).astype(np.float32)
+        for k in (3, 4):
+            pad = 1
+            op = 1 if k == 3 else 0
+            layer = TorchConvTranspose(
+                7, kernel_size=k, stride=2, padding=pad, output_padding=op
+            )
+            variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+            ours = layer.apply(variables, jnp.asarray(x))
+
+            kern = np.asarray(variables["params"]["kernel"])  # (k,k,in,out)
+            bias = np.asarray(variables["params"]["bias"])
+            tconv = torch.nn.ConvTranspose2d(
+                4, 7, k, stride=2, padding=pad, output_padding=op
+            )
+            with torch.no_grad():
+                # torch layout (in, out, kh, kw)
+                tconv.weight.copy_(torch.from_numpy(kern).permute(2, 3, 0, 1))
+                tconv.bias.copy_(torch.from_numpy(bias))
+                theirs = tconv(torch.from_numpy(x).permute(0, 3, 1, 2))
+            assert ours.shape == tuple(
+                theirs.permute(0, 2, 3, 1).shape
+            ), f"k={k}"
+            np.testing.assert_allclose(
+                np.asarray(ours),
+                theirs.permute(0, 2, 3, 1).numpy(),
+                atol=1e-4,
+            )
+
+
+class TestDepthModels:
+    def test_dispresnet_shapes(self):
+        model = build_model("DispResNet")
+        x = jnp.zeros((1, 64, 96, 3))
+        disps, variables = _init_and_run(model, x)
+        assert len(disps) == 1
+        assert disps[0].shape == (1, 64, 96, 1)
+        vals = np.asarray(disps[0])
+        assert (vals >= 0).all() and (vals <= 1).all()
+        # batch_stats collection exists (BatchNorm present)
+        assert "batch_stats" in variables
+
+    def test_dispresnet_param_count_matches_reference(self):
+        # torchvision resnet18 conv+bn params (no fc): 11,176,512
+        # + monodepth2 DepthDecoder (scales 0-3): 3,152,724
+        model = build_model("DispResNet")
+        x = jnp.zeros((1, 64, 96, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+        assert n == 11_176_512 + 3_152_724 == 14_329_236, n
+
+    def test_dispnets_shapes(self):
+        model = build_model("DispNetS")
+        x = jnp.zeros((1, 128, 256, 3))
+        disps, _ = _init_and_run(model, x)
+        assert len(disps) == 4
+        assert disps[0].shape == (1, 128, 256, 1)
+        assert disps[1].shape == (1, 64, 128, 1)
+        assert disps[3].shape == (1, 16, 32, 1)
+        vals = np.asarray(disps[0])
+        # alpha*sigmoid+beta range
+        assert (vals >= 0.01).all() and (vals <= 10.01).all()
+
+    def test_stn_dispnet_shapes(self):
+        model = build_model("StnDispNet")
+        x = jnp.zeros((1, 64, 96, 3))
+        disps, _ = _init_and_run(model, x)
+        assert disps[0].shape == (1, 64, 96, 1)
+
+
+class TestPoseModels:
+    def test_posenet_shape_and_scale(self):
+        model = build_model("PoseNet")
+        tgt = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 256, 3)), dtype=jnp.float32)
+        refs = [tgt, tgt]
+        pose, _ = _init_and_run(model, tgt, refs)
+        assert pose.shape == (2, 2, 6)
+
+    def test_pose_fc_zeroes_rotation(self):
+        model = build_model("PoseFc")
+        tgt = jnp.asarray(RNG.uniform(-1, 1, (2, 128, 256, 3)), dtype=jnp.float32)
+        pose, _ = _init_and_run(model, tgt, [tgt, tgt])
+        assert pose.shape == (2, 2, 6)
+        np.testing.assert_allclose(np.asarray(pose[..., :3]), 0.0)
+
+    def test_pose_decoder(self):
+        model = build_model("PoseDecoder", num_input_features=2)
+        feats = [
+            [jnp.zeros((1, 4, 6, 512))],
+            [jnp.zeros((1, 4, 6, 512))],
+        ]
+        (aa, tr), _ = _init_and_run(model, feats)
+        assert aa.shape == (1, 1, 1, 3)
+        assert tr.shape == (1, 1, 1, 3)
+
+
+def test_registry_unknown_model_raises():
+    with pytest.raises(KeyError):
+        build_model("NotAModel")

@@ -36,6 +36,26 @@ def depth_to_disp(
     return (1.0 / depth - beta) / alpha
 
 
+def inverse_warp_from_matrix(
+    img: jax.Array,
+    depth: jax.Array,
+    transform: jax.Array,
+    intrinsics: jax.Array,
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """inverse_warp with a pre-assembled [B, 4, 4] rigid transform.
+
+    This is the vectorization-friendly entry point: the loss stack folds
+    every (frame-pair, scale) warp of a training step into ONE call by
+    stacking jobs along the batch axis — a single XLA gather instead of
+    2·scales+1 small ones (the reference loops Python-side per pair/scale,
+    losses.py:209-223).
+    """
+    cam_points = backproject(depth, intrinsics)  # [B,H,W,3]
+    coords = project(cam_points, intrinsics, transform)  # [B,H,W,2]
+    return grid_sample(img, coords, align_corners=True, padding_mode=padding_mode)
+
+
 def inverse_warp(
     img: jax.Array,
     depth: jax.Array,
@@ -62,7 +82,7 @@ def inverse_warp(
     transformation_from_parameters (pose_geometry.py:219-220), despite the
     reference signature's 'euler' default naming.
     """
-    cam_points = backproject(depth, intrinsics)  # [B,H,W,3]
     transform = pose_matrix(pose, invert=invert_pose)  # [B,4,4]
-    coords = project(cam_points, intrinsics, transform)  # [B,H,W,2]
-    return grid_sample(img, coords, align_corners=True, padding_mode=padding_mode)
+    return inverse_warp_from_matrix(
+        img, depth, transform, intrinsics, padding_mode=padding_mode
+    )

@@ -1,0 +1,155 @@
+"""DispResNet — ResNet-18 encoder + multi-scale depth decoder (Flax, NHWC).
+
+Capability parity with /root/reference/models/depth/resnet_dispnet.py:12-107
+(torchvision resnet18 encoder + monodepth2 DepthDecoder, returning only the
+scale-0 disparity). The ResNet is implemented natively in Flax with
+torch-compatible padding so torchvision/sfm.pth checkpoints can be imported
+weight-for-weight (see train/checkpoint.py).
+
+This is the model of record — configs/basic_config.yaml selects DispResNet
+(/root/reference/configs/basic_config.yaml:4-5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unsupervised_pseuso_lidar_tpu.models.layers import Conv3x3, ConvBlock, TorchConv
+from unsupervised_pseuso_lidar_tpu.ops.resample import upsample2x_nearest
+
+RESNET_STAGE_BLOCKS = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+}
+
+
+class BasicBlock(nn.Module):
+    """ResNet v1 basic block: 3x3 conv-bn-relu, 3x3 conv-bn, skip, relu."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn():
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )
+
+        residual = x
+        out = TorchConv(self.features, 3, stride=self.stride, use_bias=False,
+                        dtype=self.dtype)(x)
+        out = nn.relu(bn()(out))
+        out = TorchConv(self.features, 3, use_bias=False, dtype=self.dtype)(out)
+        out = bn()(out)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            residual = TorchConv(
+                self.features, 1, stride=self.stride, use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            residual = bn()(residual)
+        return nn.relu(out + residual)
+
+
+class ResnetEncoder(nn.Module):
+    """ResNet feature-pyramid encoder.
+
+    Returns the 5 feature maps the depth decoder consumes:
+    [relu(bn(conv1)), layer1, layer2, layer3, layer4] with channel widths
+    (64, 64, 128, 256, 512) for resnet18.
+    Parity: /root/reference/models/depth/resnet_dispnet.py:12-46.
+    """
+
+    num_layers: int = 18
+    dtype: jnp.dtype | None = None
+
+    @property
+    def num_ch_enc(self) -> Sequence[int]:
+        return (64, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.num_layers not in RESNET_STAGE_BLOCKS:
+            raise ValueError(f"{self.num_layers} is not a supported resnet depth")
+        stage_blocks = RESNET_STAGE_BLOCKS[self.num_layers]
+
+        features = []
+        out = TorchConv(64, 7, stride=2, use_bias=False, dtype=self.dtype)(x)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
+        )(out)
+        out = nn.relu(out)
+        features.append(out)
+
+        out = nn.max_pool(
+            out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        for stage, num_blocks in enumerate(stage_blocks):
+            width = 64 * (2 ** stage)
+            for block in range(num_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                out = BasicBlock(width, stride=stride, dtype=self.dtype)(
+                    out, train=train
+                )
+            features.append(out)
+        return features
+
+
+class DepthDecoder(nn.Module):
+    """monodepth2 decoder: nearest-upsample + skip-concat ConvBlocks with
+    per-scale sigmoid disparity heads.
+
+    Returns {scale: [B, H/2^s, W/2^s, 1]} for scale in `scales`.
+    Parity: /root/reference/models/depth/resnet_dispnet.py:48-96.
+    """
+
+    num_ch_enc: Sequence[int] = (64, 64, 128, 256, 512)
+    scales: Sequence[int] = (0, 1, 2, 3)
+    num_output_channels: int = 1
+    use_skips: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, input_features):
+        num_ch_dec = (16, 32, 64, 128, 256)
+        outputs = {}
+        x = input_features[-1]
+        for i in range(4, -1, -1):
+            x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
+            x = upsample2x_nearest(x)
+            if self.use_skips and i > 0:
+                x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
+            x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
+            if i in self.scales:
+                outputs[i] = nn.sigmoid(
+                    Conv3x3(self.num_output_channels, dtype=self.dtype)(x)
+                )
+        return outputs
+
+
+class DispResNet(nn.Module):
+    """Encoder+decoder; returns [disp0] only, like the reference
+    (/root/reference/models/depth/resnet_dispnet.py:104-107)."""
+
+    num_layers: int = 18
+    scales: Sequence[int] = (0, 1, 2, 3)
+    all_scales: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        features = ResnetEncoder(self.num_layers, dtype=self.dtype)(
+            x, train=train
+        )
+        outputs = DepthDecoder(scales=self.scales, dtype=self.dtype)(features)
+        if self.all_scales:
+            return [outputs[s] for s in sorted(outputs)]
+        return [outputs[0]]

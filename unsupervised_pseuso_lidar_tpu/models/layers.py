@@ -1,0 +1,191 @@
+"""Shared conv building blocks (Flax linen, NHWC).
+
+Capability parity with /root/reference/models/layers.py:10-58 (ConvBlock,
+Conv3x3 with reflection padding, nearest upsample) plus torch-compatible
+conv/conv-transpose wrappers used across the model zoo.
+
+Padding semantics: torch Conv2d pads symmetrically by (k-1)//2; XLA 'SAME'
+pads asymmetrically for stride 2, which samples different positions. Every
+strided conv here uses explicit torch-style padding so imported PyTorch
+checkpoints (sfm.pth-style state dicts, SURVEY.md §7 risk list) reproduce
+activations exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_padding(kernel_size: int) -> Sequence[tuple]:
+    pad = (kernel_size - 1) // 2
+    return ((pad, pad), (pad, pad))
+
+
+class TorchConv(nn.Module):
+    """Conv2d with torch-style symmetric padding (NHWC)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=torch_padding(self.kernel_size),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d(kernel, stride=2, padding=1, output_padding=1) —
+    exact torch semantics (output = 2x input size).
+
+    Implemented as an input-dilated convolution with a spatially flipped
+    kernel: y = conv(dilate(x, 2), flip(W)), pad (k-1-p, k-1-p+op). This is
+    the algebraic definition of torch's transposed conv, expressed in a
+    form XLA lowers straight onto the MXU.
+
+    Parity: /root/reference/models/depth/disp_net.py:39-43 and
+    /root/reference/models/depth/stn_depth_net.py:24-29 (without norm).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (k, k, in_features, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        pad_lo = k - 1 - self.padding
+        pad_hi = k - 1 - self.padding + self.output_padding
+        out = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel[::-1, ::-1, :, :].astype(dtype),
+            window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(dtype)
+        return out
+
+
+class Conv3x3(nn.Module):
+    """Reflection-pad-1 + 3x3 VALID conv.
+
+    Parity: /root/reference/models/layers.py:37-52."""
+
+    features: int
+    use_refl: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        mode = "reflect" if self.use_refl else "constant"
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3 (reflect pad) + ELU.
+
+    Parity: /root/reference/models/layers.py:22-34."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.elu(Conv3x3(self.features, dtype=self.dtype)(x))
+
+
+class DownsampleConvBN(nn.Module):
+    """Conv(s2) + ReLU + BatchNorm + Conv(s1) + ReLU — the (quirky: norm
+    after the activation) DispNetS encoder block.
+
+    Parity: /root/reference/models/depth/disp_net.py:15-22."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = TorchConv(
+            self.features, self.kernel_size, stride=2, dtype=self.dtype
+        )(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+        x = TorchConv(self.features, self.kernel_size, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class DownsampleConvGN(nn.Module):
+    """Conv(s2) + GroupNorm(16) + ReLU + Conv(s1) + GroupNorm(16) + ReLU.
+
+    Parity: /root/reference/models/depth/stn_depth_net.py:8-16."""
+
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(
+            self.features, self.kernel_size, stride=2, dtype=self.dtype
+        )(x)
+        x = nn.relu(nn.GroupNorm(num_groups=16, dtype=self.dtype)(x))
+        x = TorchConv(self.features, self.kernel_size, dtype=self.dtype)(x)
+        return nn.relu(nn.GroupNorm(num_groups=16, dtype=self.dtype)(x))
+
+
+class UpconvGN(nn.Module):
+    """ConvTranspose(3, s2) + GroupNorm(16) + ReLU.
+
+    Parity: /root/reference/models/depth/stn_depth_net.py:24-29."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConvTranspose(self.features, dtype=self.dtype)(x)
+        return nn.relu(nn.GroupNorm(num_groups=16, dtype=self.dtype)(x))

@@ -1,0 +1,34 @@
+"""PoseNet — 7-stride-2-conv trunk over the concatenated frame triplet.
+
+Capability parity with /root/reference/models/pose/pose_net.py:31-77:
+conv channels (16, 32, 64, 128, 256, 256, 256) with kernels (7, 5, 3...),
+1x1 pose head, global average over H, W, output 0.06 * pose reshaped to
+[B, num_refs, 6]. The reference's GroupNorm is commented out
+(pose_net.py:27) so the trunk is Conv+ReLU only — replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unsupervised_pseuso_lidar_tpu.models.layers import TorchConv
+
+
+class PoseNet(nn.Module):
+    nb_ref_imgs: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, image, context: Sequence[jnp.ndarray]):
+        assert len(context) == self.nb_ref_imgs
+        x = jnp.concatenate([image, *context], axis=-1)
+        channels = (16, 32, 64, 128, 256, 256, 256)
+        kernels = (7, 5, 3, 3, 3, 3, 3)
+        for width, k in zip(channels, kernels):
+            x = nn.relu(TorchConv(width, k, stride=2, dtype=self.dtype)(x))
+        pose = TorchConv(6 * self.nb_ref_imgs, 1, dtype=self.dtype)(x)
+        pose = pose.mean(axis=(1, 2))  # global average over H, W
+        return 0.06 * pose.reshape(pose.shape[0], self.nb_ref_imgs, 6)
