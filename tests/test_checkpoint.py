@@ -1,0 +1,150 @@
+"""Checkpoint tests: torch<->flax state-dict round trips (the sfm.pth
+compatibility path, SURVEY.md §7) and orbax persistence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unsupervised_pseuso_lidar_tpu.models import build_model
+from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+    CheckpointManager,
+    chw_to_hwc_permutation,
+    export_torch_state,
+    import_torch_state,
+)
+
+
+def _init(model_name, shape=(1, 64, 96, 3), pose=False):
+    model = build_model(model_name)
+    x = jnp.zeros(shape)
+    if pose:
+        variables = model.init(jax.random.PRNGKey(0), x, [x, x])
+    else:
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    return model, params, stats
+
+
+def _randomize(tree, seed=0):
+    rng = np.random.default_rng(seed)
+    leaves, treedef = jax.tree.flatten(tree)
+    new = [rng.normal(size=np.shape(l)).astype(np.float32) for l in leaves]
+    return jax.tree.unflatten(treedef, new)
+
+
+@pytest.mark.parametrize(
+    "model_name,pose,shape",
+    [
+        ("DispResNet", False, (1, 64, 96, 3)),
+        ("DispNetS", False, (1, 128, 128, 3)),
+        ("PoseNet", True, (1, 64, 96, 3)),
+        ("PoseFc", True, (1, 128, 128, 3)),
+    ],
+)
+def test_torch_roundtrip(model_name, pose, shape):
+    """export -> import reproduces every tensor, and the exported dict has
+    the reference's key schema."""
+    _, params, stats = _init(model_name, shape, pose)
+    params = _randomize(params, seed=1)
+    if stats:
+        stats = _randomize(stats, seed=2)
+
+    torch_state = export_torch_state(params, stats, model_name)
+    assert torch_state, model_name
+    # all weights 4D conv OIHW or 2D linear; keys look like torch keys
+    for key, val in torch_state.items():
+        assert isinstance(val, np.ndarray)
+        assert "/" not in key and key.count(".") >= 1
+
+    params2, stats2 = import_torch_state(params, stats, torch_state, model_name)
+    flat1 = dict(
+        zip(
+            [str(p) for p in jax.tree_util.tree_leaves_with_path(params)],
+            jax.tree.leaves(params),
+        )
+    )
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params2),
+    ):
+        assert str(p1) == str(p2)
+        np.testing.assert_allclose(l1, l2, atol=1e-6, err_msg=f"{model_name}:{p1}")
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(stats),
+        jax.tree_util.tree_leaves_with_path(stats2),
+    ):
+        np.testing.assert_allclose(l1, l2, atol=1e-6, err_msg=f"{model_name}:{p1}")
+
+
+def test_dispresnet_schema_matches_reference_keys():
+    """Spot-check the exported key names against the reference module tree
+    (resnet_dispnet.py module attribute paths)."""
+    _, params, stats = _init("DispResNet")
+    torch_state = export_torch_state(params, stats, "DispResNet")
+    for key in (
+        "encoder.encoder.conv1.weight",
+        "encoder.encoder.bn1.running_mean",
+        "encoder.encoder.layer1.0.conv1.weight",
+        "encoder.encoder.layer2.0.downsample.0.weight",
+        "encoder.encoder.layer4.1.bn2.running_var",
+        "decoder.decoder.0.conv.conv.weight",
+        "decoder.decoder.9.conv.conv.bias",
+        "decoder.decoder.10.conv.weight",
+        "decoder.decoder.13.conv.bias",
+    ):
+        assert key in torch_state, key
+    # conv1 is OIHW 64x3x7x7
+    assert torch_state["encoder.encoder.conv1.weight"].shape == (64, 3, 7, 7)
+
+
+def test_import_accepts_dataparallel_prefix():
+    _, params, stats = _init("PoseNet", pose=True)
+    torch_state = export_torch_state(params, stats, "PoseNet")
+    prefixed = {f"module.{k}": v for k, v in torch_state.items()}
+    params2, _ = import_torch_state(params, stats, prefixed, "PoseNet")
+    for l1, l2 in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(l1, l2, atol=1e-6)
+
+
+def test_chw_permutation_inverse():
+    perm = chw_to_hwc_permutation(12, 1, 30)
+    inv = np.argsort(perm)
+    x = np.arange(360)
+    np.testing.assert_array_equal(x[perm][inv], x)
+
+
+def test_posefc_import_preserves_function():
+    """Importing an exported PoseFc must reproduce identical outputs —
+    catches flatten-order (CHW vs HWC) mistakes in the FC mapping."""
+    model, params, stats = _init("PoseFc", (1, 128, 128, 3), pose=True)
+    params = _randomize(params, seed=3)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 128, 128, 3)),
+                    dtype=jnp.float32)
+    out1 = model.apply({"params": params}, x, [x, x])
+    torch_state = export_torch_state(params, stats, "PoseFc")
+    params2, _ = import_torch_state(params, stats, torch_state, "PoseFc")
+    out2 = model.apply({"params": params2}, x, [x, x])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_orbax_save_restore(tmp_path):
+    from unsupervised_pseuso_lidar_tpu.train.trainer import create_train_state
+    from unsupervised_pseuso_lidar_tpu.train.config import Config
+
+    config = Config.from_dict(
+        {
+            "model": {"depth": {"name": "StnDispNet"}, "pose": {"name": "PoseNet"}},
+            "datasets": {"augmentation": {"image_width": 32, "image_height": 32}},
+            "action": {"batch_size": 1},
+        }
+    )
+    state, *_ = create_train_state(config, jax.random.PRNGKey(0), 1)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, epoch=3)
+    assert mgr.latest_epoch() == 3
+    restored, epoch = mgr.restore(state)
+    assert epoch == 3
+    for l1, l2 in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(l1, l2)

@@ -1,0 +1,202 @@
+"""End-to-end training tests: the minimum slice (SURVEY.md §7 stage 4) —
+loss decreases on synthetic data with known geometry — plus multi-device
+sharded training on the 8-way virtual CPU mesh, config parsing, metrics,
+and checkpoint round trips.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from unsupervised_pseuso_lidar_tpu.data.synthetic import (
+    SyntheticTripletDataset,
+    synthetic_triplet_batch,
+)
+from unsupervised_pseuso_lidar_tpu.eval.metrics import compute_errors
+from unsupervised_pseuso_lidar_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_train_state,
+)
+from unsupervised_pseuso_lidar_tpu.train.config import Config, load_config
+from unsupervised_pseuso_lidar_tpu.train.trainer import (
+    Trainer,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def _small_config(**overrides):
+    raw = {
+        "model": {
+            "name": "unit",
+            "depth": {"name": "DispResNet"},
+            "pose": {"name": "PoseNet"},
+        },
+        "datasets": {
+            "augmentation": {"image_width": 96, "image_height": 64, "shuffle": True},
+            "sequence_length": 3,
+        },
+        "action": {
+            "batch_size": 2,
+            "num_epochs": 1,
+            "random_seed": 0,
+            "optimizer": {"depth": {"lr": 1e-4}, "pose": {"lr": 1e-4}},
+            "scheduler": {"step_size": 30, "gamma": 0.1},
+        },
+    }
+    raw.update(overrides)
+    return Config.from_dict(raw)
+
+
+class TestConfig:
+    def test_reference_schema_roundtrip(self, tmp_path):
+        # The reference's own config file parses unchanged.
+        import shutil
+
+        ref = "/root/reference/configs/basic_config.yaml"
+        if os.path.exists(ref):
+            cfg = load_config(ref)
+            assert cfg.model.depth.name == "DispResNet"
+            assert cfg.model.pose.name == "PoseFc"
+            assert cfg.action.batch_size == 4
+            assert cfg.action.scheduler.step_size == 30
+            assert cfg.image_shape == (384, 1280)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            _small_config(action={"batch_size": 0})
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_synthetic_scene(self):
+        config = _small_config()
+        state, depth_model, pose_model, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        step = make_train_step(depth_model, pose_model, tx)
+        batch = synthetic_triplet_batch(2, 64, 96, seed=0, depth=10.0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+    def test_semi_sup_pose_uses_oxts(self):
+        config = _small_config()
+        state, depth_model, pose_model, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        step = make_train_step(depth_model, pose_model, tx, semi_sup_pose=True)
+        batch = synthetic_triplet_batch(2, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_eval_step_metrics(self):
+        config = _small_config()
+        state, depth_model, pose_model, _ = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        eval_step = make_eval_step(depth_model, pose_model)
+        batch = synthetic_triplet_batch(2, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        metrics, depth_pred = eval_step(state, batch)
+        assert depth_pred.shape == (2, 64, 96)
+        for key in ("abs_rel", "rms", "d1", "silog"):
+            assert np.isfinite(float(metrics[key])), key
+
+
+class TestMultiChip:
+    def test_sharded_train_step_8_devices(self):
+        assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+        mesh = make_mesh(8)
+        config = _small_config()
+        state, depth_model, pose_model, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        state = shard_train_state(mesh, state)
+        step = make_train_step(depth_model, pose_model, tx, mesh=mesh)
+        batch = synthetic_triplet_batch(8, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+        batch = shard_batch(mesh, batch)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device(self):
+        # Same batch, same init: sharded and unsharded steps agree.
+        config = _small_config()
+        batch = synthetic_triplet_batch(8, 64, 96, seed=3)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+
+        state1, dm, pm, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        step1 = make_train_step(dm, pm, tx, donate=False)
+        _, m1 = step1(state1, batch)
+
+        mesh = make_mesh(8)
+        state2, dm2, pm2, tx2 = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        state2 = shard_train_state(mesh, state2)
+        step2 = make_train_step(dm2, pm2, tx2, mesh=mesh, donate=False)
+        _, m2 = step2(state2, shard_batch(mesh, batch))
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=2e-4
+        )
+
+
+class TestTrainerLoop:
+    def test_fit_epoch_and_checkpoint(self, tmp_path):
+        config = _small_config()
+        config.action.checkpoint_dir = str(tmp_path)
+        config.action.num_epochs = 1
+        dataset = SyntheticTripletDataset(2, 2, 64, 96, seed=0)
+        trainer = Trainer(config, dataset=dataset)
+        metrics = trainer.fit(
+            make_train_iter=dataset.batches,
+            make_val_iter=lambda: dataset.batches(99),
+        )
+        assert "loss" in metrics and np.isfinite(metrics["loss"])
+        assert "val_abs_rel" in metrics
+        # resume restores epoch + state
+        config2 = _small_config()
+        config2.action.checkpoint_dir = str(tmp_path)
+        config2.action.from_scratch = False
+        trainer2 = Trainer(config2, dataset=dataset)
+        assert trainer2.epoch == 0  # saved at end of epoch 0
+        assert int(trainer2.state.step) == int(trainer.state.step)
+
+
+class TestMetrics:
+    def test_perfect_prediction(self):
+        gt = jnp.asarray(np.random.default_rng(0).uniform(1, 50, (2, 8, 8)))
+        m = compute_errors(gt, gt)
+        assert float(m["abs_rel"]) < 1e-6
+        assert float(m["d1"]) == 1.0
+        assert float(m["rms"]) < 1e-4
+
+    def test_sq_rel_is_not_rms(self):
+        # Reference bug (evaluate.py:36) fixed: sq_rel is its own metric.
+        gt = jnp.full((4, 4), 10.0)
+        pred = jnp.full((4, 4), 12.0)
+        m = compute_errors(gt, pred)
+        np.testing.assert_allclose(float(m["rms"]), 2.0, atol=1e-5)
+        np.testing.assert_allclose(float(m["sq_rel"]), 4.0 / 10.0, atol=1e-5)
+
+    def test_mask_excludes_invalid(self):
+        gt = jnp.asarray([[10.0, 0.0], [10.0, 0.0]])  # zeros = no LiDAR return
+        pred = jnp.asarray([[10.0, 99.0], [10.0, 99.0]])
+        m = compute_errors(gt, pred)
+        assert float(m["abs_rel"]) < 1e-6

@@ -1,0 +1,52 @@
+"""Evaluation entry point: KITTI depth metrics over a split.
+
+Makes the validation path the reference disabled actually run
+(/root/reference/trainer.py:285 comments out validate();
+/root/reference/evaluate.py computes metrics with the sq_rel bug — fixed
+in eval/metrics.py).
+
+Usage:
+  python -m unsupervised_pseuso_lidar_tpu.cli.evaluate --config configs/basic_config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Eigen-split depth evaluation")
+    parser.add_argument("--config", default="configs/basic_config.yaml")
+    parser.add_argument("--split", default=None, help="override split file")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--max-batches", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
+    from unsupervised_pseuso_lidar_tpu.train.config import load_config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import Trainer
+
+    config = load_config(args.config)
+    if args.split:
+        config.datasets.split = args.split
+    config.action.from_scratch = args.checkpoint is None and config.action.from_scratch
+
+    dataset = UnSupKittiDataset(config)
+    trainer = Trainer(config, dataset=dataset)
+
+    batch_size = config.action.batch_size
+    indices = list(range(len(dataset)))
+    if args.max_batches:
+        indices = indices[: args.max_batches * batch_size]
+    metrics = trainer.validate(
+        dataset.batches(indices, batch_size, config.action.num_workers)
+    )
+    print(json.dumps({k: round(v, 5) for k, v in metrics.items()}, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

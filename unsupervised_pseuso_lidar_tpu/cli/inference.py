@@ -1,0 +1,112 @@
+"""Single-image depth inference entry point.
+
+Parity: /root/reference/inference.py:8-46 (load checkpoint, run the depth
+model on one frame, emit 1/disparity) — with direct image input instead of
+re-instantiating a full Trainer, and optional pseudo-LiDAR output.
+
+Usage:
+  python -m unsupervised_pseuso_lidar_tpu.cli.inference \
+      --config configs/basic_config.yaml --image frame.png \
+      [--checkpoint pretrained/model] [--calib KITTI/2011_09_26 --cloud out.npy]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Single-image depth inference")
+    parser.add_argument("--config", default="configs/basic_config.yaml")
+    parser.add_argument("--image", required=True)
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax checkpoint dir (default: config path)")
+    parser.add_argument("--torch-checkpoint", default=None,
+                        help="reference .pth checkpoint to import")
+    parser.add_argument("--output", default=None, help="save depth .npy/.png")
+    parser.add_argument("--calib", default=None,
+                        help="KITTI calib dir: also emit a pseudo-LiDAR cloud")
+    parser.add_argument("--cloud", default=None, help="cloud output .npy")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
+    from unsupervised_pseuso_lidar_tpu.train.config import load_config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import create_train_state
+    from unsupervised_pseuso_lidar_tpu.utils.transforms import load_image
+
+    config = load_config(args.config)
+    state, depth_model, _, _ = create_train_state(
+        config, jax.random.PRNGKey(config.action.random_seed)
+    )
+    params, batch_stats = state.params, state.batch_stats
+
+    if args.torch_checkpoint:
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            import_torch_state,
+            load_torch_checkpoint,
+        )
+
+        ckpt = load_torch_checkpoint(args.torch_checkpoint)
+        depth_params, depth_stats = import_torch_state(
+            params["depth"], batch_stats["depth"],
+            ckpt["dpth_mdl_state_dict"], config.model.depth.name,
+        )
+        params = dict(params, depth=depth_params)
+        batch_stats = dict(batch_stats, depth=depth_stats)
+    elif args.checkpoint or not config.action.from_scratch:
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
+
+        import os
+
+        path = args.checkpoint or os.path.join(
+            config.action.checkpoint_dir, config.model.name
+        )
+        restored = CheckpointManager(path).restore(state)
+        if restored is not None:
+            state = restored[0]
+            params, batch_stats = state.params, state.batch_stats
+
+    img, _, _ = load_image(args.image, config.image_shape)
+
+    @jax.jit
+    def run(img):
+        disps = depth_model.apply(
+            {"params": params["depth"], "batch_stats": batch_stats["depth"]},
+            img[None],
+            train=False,
+        )
+        return disp_to_depth(disps[0][..., 0])[0]
+
+    depth = np.asarray(run(jnp.asarray(img)))
+    print(
+        f"depth: shape={depth.shape} min={depth.min():.2f} "
+        f"max={depth.max():.2f} median={np.median(depth):.2f} m"
+    )
+    if args.output:
+        if args.output.endswith(".npy"):
+            np.save(args.output, depth)
+        else:
+            from PIL import Image
+
+            vis = (255 * (1.0 / depth) / (1.0 / depth).max()).astype(np.uint8)
+            Image.fromarray(vis).save(args.output)
+        print(f"wrote {args.output}")
+
+    if args.calib:
+        from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import PseudoLiDAR
+
+        cloud = PseudoLiDAR(args.calib).project_PL(depth)
+        print(f"pseudo-LiDAR cloud: {cloud.shape[0]} points")
+        if args.cloud:
+            np.save(args.cloud, cloud)
+            print(f"wrote {args.cloud}")
+    return depth
+
+
+if __name__ == "__main__":
+    main()

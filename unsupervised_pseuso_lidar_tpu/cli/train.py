@@ -1,0 +1,88 @@
+"""Training entry point.
+
+Parity: /root/reference/train.py:1-8 (load YAML config, build Trainer,
+train) with CLI overrides, mesh selection, and host-async prefetch.
+
+Usage:
+  python -m unsupervised_pseuso_lidar_tpu.cli.train --config configs/basic_config.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Unsupervised depth training")
+    parser.add_argument("--config", default="configs/basic_config.yaml")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="data-parallel devices (0 = all available)")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on the synthetic scene (no KITTI needed)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from unsupervised_pseuso_lidar_tpu.data.pipeline import prefetch_to_device
+    from unsupervised_pseuso_lidar_tpu.parallel.mesh import make_mesh, shard_batch
+    from unsupervised_pseuso_lidar_tpu.train.config import load_config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import Trainer
+    from unsupervised_pseuso_lidar_tpu.utils.logging import MetricLogger
+
+    config = load_config(args.config)
+    if args.epochs is not None:
+        config.action.num_epochs = args.epochs
+    if args.batch_size is not None:
+        config.action.batch_size = args.batch_size
+
+    n_devices = args.mesh or len(jax.devices())
+    mesh = make_mesh(n_devices) if n_devices > 1 else None
+    device_put = partial(shard_batch, mesh) if mesh else None
+
+    logger = MetricLogger(config)
+
+    if args.synthetic:
+        from unsupervised_pseuso_lidar_tpu.data.synthetic import (
+            SyntheticTripletDataset,
+        )
+
+        height, width = config.image_shape
+        dataset = SyntheticTripletDataset(
+            num_batches=50, batch_size=config.action.batch_size,
+            height=height, width=width,
+        )
+        trainer = Trainer(config, dataset=dataset, mesh=mesh, log_fn=logger)
+        trainer.fit(
+            make_train_iter=lambda epoch: prefetch_to_device(
+                dataset.batches(epoch), device_put=device_put
+            ),
+        )
+        return trainer
+
+    from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
+
+    dataset = UnSupKittiDataset(config)
+    train_idx, val_idx = dataset.train_val_indices(
+        seed=config.action.random_seed,
+        val_ratio=config.action.split[1],
+        shuffle=config.datasets.augmentation.shuffle,
+    )
+    trainer = Trainer(config, dataset=dataset, mesh=mesh, log_fn=logger)
+
+    batch_size = config.action.batch_size
+    workers = config.action.num_workers
+    trainer.fit(
+        make_train_iter=lambda epoch: prefetch_to_device(
+            dataset.batches(train_idx, batch_size, workers),
+            device_put=device_put,
+        ),
+        make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
+    )
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

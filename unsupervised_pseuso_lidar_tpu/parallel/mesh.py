@@ -1,0 +1,81 @@
+"""Device-mesh construction and sharding rules (jax.sharding + pjit).
+
+The reference is strictly single-device (SURVEY.md §2 parallelism
+inventory: torch DataParallel appears only as a checkpoint-key shim).
+Here multi-chip scaling is first-class and expressed the XLA way: build a
+Mesh, annotate array shardings, and let the compiler insert the
+collectives (psum of grads over the data axis rides the ICI ring; nothing
+in user code names a collective).
+
+Axes:
+  * "data"    — batch-dimension data parallelism (the north-star config:
+                batch 12 over a v4-8 slice).
+  * "spatial" — optional image-height sharding for very large resolutions;
+                XLA GSPMD partitions the convolutions with halo exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a ("data",) or ("data", "spatial") mesh.
+
+    Args:
+      n_devices: total devices to use (default: all available).
+      spatial: size of the spatial axis; data axis gets n_devices // spatial.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if n_devices % spatial != 0:
+        raise ValueError(f"{n_devices} devices not divisible by spatial={spatial}")
+    if spatial > 1:
+        grid = devices.reshape(n_devices // spatial, spatial)
+        return Mesh(grid, ("data", "spatial"))
+    return Mesh(devices.reshape(n_devices), ("data",))
+
+
+def _spatial_axis(mesh: Mesh) -> Optional[str]:
+    return "spatial" if "spatial" in mesh.axis_names else None
+
+
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
+    """Sharding for an [B, ...] array: B over "data", H over "spatial" when
+    the mesh has one (images are [B, H, W, C])."""
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    if _spatial_axis(mesh) and ndim >= 4:
+        spec[1] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch pytree with batch-dim sharding."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def shard_train_state(mesh: Mesh, state: Any) -> Any:
+    """Replicate train state (params/opt state) across the mesh.
+
+    Parameters are small (~14M for DispResNet) relative to HBM, so full
+    replication is the right call — no FSDP-style sharding needed; grads
+    are psum-reduced by XLA over "data"."""
+    return jax.device_put(state, replicated_sharding(mesh))

@@ -1,0 +1,15 @@
+from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+    PseudoLiDAR,
+    depth_to_pointcloud,
+)
+from unsupervised_pseuso_lidar_tpu.pseudolidar.velo2img import (
+    project_velo_to_depth_image,
+    project_img_to_velo,
+)
+
+__all__ = [
+    "PseudoLiDAR",
+    "depth_to_pointcloud",
+    "project_velo_to_depth_image",
+    "project_img_to_velo",
+]

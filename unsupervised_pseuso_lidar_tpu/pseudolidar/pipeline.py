@@ -1,0 +1,134 @@
+"""Streaming inference pipeline: camera frames -> depth -> pseudo-LiDAR.
+
+Capability parity with the reference's three-process ROS graph
+(/root/reference/pseudo-lidar/mock_publisher.py ->
+DepthPipeline.py -> PseudoLidarPipeline.py, topics camera/kitti ->
+depth/output -> PL/output at 10 Hz), re-designed as an in-process
+async pipeline:
+
+  * stages communicate through bounded queues (the ROS topics' queue_size=1
+    becomes maxsize=1 — latest-wins backpressure);
+  * the depth model and the point-cloud projector run as ONE jitted
+    device program per frame (the reference crosses host/ROS boundaries
+    between them);
+  * sources/sinks are plain callables, with a FileImageSource replaying a
+    KITTI drive directory exactly like mock_publisher.py:53-83, and an
+    optional rate limit reproducing the 10 Hz cadence.
+
+A thin ROS adapter can wrap DepthToPointCloudPipeline.push()/on_cloud at
+the edges; the core never imports ROS.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import PseudoLiDAR
+from unsupervised_pseuso_lidar_tpu.utils.transforms import load_image
+
+
+class FileImageSource:
+    """Replays the PNGs of a KITTI drive directory (mock camera).
+
+    Parity: /root/reference/pseudo-lidar/mock_publisher.py:53-83."""
+
+    def __init__(self, image_dir: str, rate_hz: Optional[float] = None,
+                 size_hw: Optional[Tuple[int, int]] = None,
+                 normalize: bool = True):
+        self.paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+        if not self.paths:
+            raise FileNotFoundError(f"No PNGs under {image_dir}")
+        self.rate_hz = rate_hz
+        self.size_hw = size_hw
+        self.normalize = normalize
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        period = 1.0 / self.rate_hz if self.rate_hz else 0.0
+        next_t = time.monotonic()
+        for path in self.paths:
+            img, _, _ = load_image(path, self.size_hw, normalize=self.normalize)
+            if period:
+                next_t += period
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+            yield img
+
+
+@dataclass
+class PipelineResult:
+    frame_index: int
+    depth: np.ndarray          # [H, W] meters
+    points: np.ndarray         # [N, 4] velodyne-frame pseudo-LiDAR cloud
+
+
+class DepthToPointCloudPipeline:
+    """depth-model + pseudo-LiDAR projector as one fused device program.
+
+    Args:
+      depth_fn: callable [1, H, W, 3] -> [1, H, W] depth in meters (e.g. a
+        jitted model apply composed with disp_to_depth).
+      projector: a PseudoLiDAR instance (calibration-bound).
+    """
+
+    def __init__(self, depth_fn: Callable, projector: PseudoLiDAR):
+        self.projector = projector
+
+        def fused(img):
+            depth = depth_fn(img)
+            points, valid = projector.project_batch(depth)
+            return depth, points, valid
+
+        self._fused = jax.jit(fused)
+
+    def process(self, img: np.ndarray, frame_index: int = 0) -> PipelineResult:
+        depth, points, valid = self._fused(jnp.asarray(img)[None])
+        depth = np.asarray(depth[0])
+        cloud = np.asarray(points[0])[np.asarray(valid[0])]
+        return PipelineResult(frame_index, depth, cloud)
+
+    def run(
+        self,
+        source: Iterator[np.ndarray],
+        on_result: Callable[[PipelineResult], None],
+        queue_size: int = 1,
+    ) -> int:
+        """Stream frames through the pipeline with a latest-wins input
+        queue (the ROS queue_size=1 semantics); returns frames processed."""
+        q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        sentinel = object()
+
+        def feed():
+            for i, frame in enumerate(source):
+                try:
+                    q.put_nowait((i, frame))
+                except queue.Full:
+                    try:  # drop the stale frame, keep the fresh one
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    q.put((i, frame))
+            q.put(sentinel)
+
+        thread = threading.Thread(target=feed, daemon=True)
+        thread.start()
+
+        processed = 0
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return processed
+            index, frame = item
+            on_result(self.process(frame, index))
+            processed += 1

@@ -1,0 +1,371 @@
+"""Checkpointing: orbax save/restore + PyTorch state-dict interop.
+
+Capability parity with /root/reference/trainer.py:129-152 (per-epoch
+checkpoint of {epoch, dpth_mdl_state_dict, pose_mdl_state_dict,
+optimizer_state_dict}) — stored as orbax pytree checkpoints — plus the
+torch<->flax converter the north star requires for sfm.pth-style
+checkpoint compatibility (SURVEY.md §7 "checkpoint importer").
+
+The torch mapping covers the model zoo's reference state-dict schemas:
+  * DispResNet:  encoder.encoder.<torchvision resnet18> +
+                 decoder.decoder.<ModuleList index>  (resnet_dispnet.py)
+  * DispNetS:    conv{1-7}.{0,2,3} / upconv{1-7}.0 / iconv{1-7}.0 /
+                 predict_disp{1-4}.0  (disp_net.py)
+  * PoseNet/PoseFc: conv{1-7}.0 + pose_pred (+ fc_loc.{0,2,4})
+                 (pose_net.py, pose_fc.py)
+
+Tensor layout conversions: conv OIHW->HWIO, conv-transpose (in,out,kh,kw)
+-> (kh,kw,in,out), linear (out,in) -> (in,out); BatchNorm weight/bias ->
+scale/bias params and running stats -> batch_stats. The PoseFc flatten
+order differs (reference flattens CHW, pose_fc.py:80; we flatten HWC) so
+the first fc_loc matrix rows are permuted accordingly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax persistence
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    """Per-epoch orbax checkpoints under <directory>/epoch_<n>."""
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _epoch_path(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"epoch_{epoch:05d}")
+
+    def latest_epoch(self) -> Optional[int]:
+        if not os.path.isdir(self.directory):
+            return None
+        epochs = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"epoch_(\d+)", name)
+            if m:
+                epochs.append(int(m.group(1)))
+        return max(epochs) if epochs else None
+
+    def save(self, state: Any, epoch: int) -> str:
+        os.makedirs(self.directory, exist_ok=True)
+        path = self._epoch_path(epoch)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        self._ckptr.wait_until_finished()
+        return path
+
+    def restore(self, template: Any, epoch: Optional[int] = None
+                ) -> Optional[Tuple[Any, int]]:
+        if epoch is None:
+            epoch = self.latest_epoch()
+        if epoch is None:
+            return None
+        state = self._ckptr.restore(self._epoch_path(epoch), template)
+        return state, epoch
+
+
+# ---------------------------------------------------------------------------
+# torch <-> flax tensor conversions
+# ---------------------------------------------------------------------------
+
+
+def _t2f_conv(w: np.ndarray) -> np.ndarray:  # OIHW -> HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _f2t_conv(w: np.ndarray) -> np.ndarray:  # HWIO -> OIHW
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+def _t2f_convT(w: np.ndarray) -> np.ndarray:  # (in,out,kh,kw) -> (kh,kw,in,out)
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def _f2t_convT(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+def _t2f_linear(w: np.ndarray) -> np.ndarray:  # (out,in) -> (in,out)
+    return np.transpose(w)
+
+
+_f2t_linear = _t2f_linear
+
+
+def chw_to_hwc_permutation(channels: int, height: int, width: int) -> np.ndarray:
+    """Index permutation p with p[hwc_index] = chw_index for a flattened
+    feature map — used to remap FC input columns between torch's CHW
+    flatten and our HWC flatten."""
+    idx = np.arange(channels * height * width).reshape(channels, height, width)
+    return np.transpose(idx, (1, 2, 0)).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# mapping tables: flax param path -> (torch prefix, kind)
+# kind: conv | convT | linear | bn (expands to scale/bias + stats)
+# ---------------------------------------------------------------------------
+
+
+def _dispresnet_mapping() -> Dict[str, Tuple[str, str]]:
+    m: Dict[str, Tuple[str, str]] = {}
+    enc = "ResnetEncoder_0"
+    m[f"{enc}/TorchConv_0"] = ("encoder.encoder.conv1", "conv")
+    m[f"{enc}/BatchNorm_0"] = ("encoder.encoder.bn1", "bn")
+    # resnet18 basic blocks: flax BasicBlock_{0..7} in creation order
+    block = 0
+    for layer, blocks in ((1, 2), (2, 2), (3, 2), (4, 2)):
+        for b in range(blocks):
+            t = f"encoder.encoder.layer{layer}.{b}"
+            f = f"{enc}/BasicBlock_{block}"
+            m[f"{f}/TorchConv_0"] = (f"{t}.conv1", "conv")
+            m[f"{f}/BatchNorm_0"] = (f"{t}.bn1", "bn")
+            m[f"{f}/TorchConv_1"] = (f"{t}.conv2", "conv")
+            m[f"{f}/BatchNorm_1"] = (f"{t}.bn2", "bn")
+            if layer > 1 and b == 0:  # downsample branch
+                m[f"{f}/TorchConv_2"] = (f"{t}.downsample.0", "conv")
+                m[f"{f}/BatchNorm_2"] = (f"{t}.downsample.1", "bn")
+            block += 1
+    dec = "DepthDecoder_0"
+    # upconv(i, j) -> ModuleList index 2*(4-i)+j ; ConvBlock_m wraps Conv3x3_0
+    for i in range(4, -1, -1):
+        for j in range(2):
+            idx = 2 * (4 - i) + j
+            m[f"{dec}/ConvBlock_{idx}/Conv3x3_0"] = (
+                f"decoder.decoder.{idx}.conv.conv", "conv"
+            )
+    # dispconv scale s -> ModuleList index 10+s ; flax Conv3x3_{3-s}
+    for s in range(4):
+        m[f"{dec}/Conv3x3_{3 - s}"] = (f"decoder.decoder.{10 + s}.conv", "conv")
+    return m
+
+
+def _dispnets_mapping() -> Dict[str, Tuple[str, str]]:
+    m: Dict[str, Tuple[str, str]] = {}
+    for i in range(7):
+        f = f"DownsampleConvBN_{i}"
+        m[f"{f}/TorchConv_0"] = (f"conv{i + 1}.0", "conv")
+        m[f"{f}/BatchNorm_0"] = (f"conv{i + 1}.2", "bn")
+        m[f"{f}/TorchConv_1"] = (f"conv{i + 1}.3", "conv")
+    # decoder creation order (see models/depth/dispnet.py __call__):
+    # TCT_0..3 = upconv7..4, TC_0..3 = iconv7..4, TC_4 = disp4,
+    # TCT_4..6 = upconv3..1, TC_5/7/9 = iconv3/2/1, TC_6/8/10 = disp3/2/1
+    m["TorchConvTranspose_0"] = ("upconv7.0", "convT")
+    m["TorchConv_0"] = ("iconv7.0", "conv")
+    m["TorchConvTranspose_1"] = ("upconv6.0", "convT")
+    m["TorchConv_1"] = ("iconv6.0", "conv")
+    m["TorchConvTranspose_2"] = ("upconv5.0", "convT")
+    m["TorchConv_2"] = ("iconv5.0", "conv")
+    m["TorchConvTranspose_3"] = ("upconv4.0", "convT")
+    m["TorchConv_3"] = ("iconv4.0", "conv")
+    m["TorchConv_4"] = ("predict_disp4.0", "conv")
+    m["TorchConvTranspose_4"] = ("upconv3.0", "convT")
+    m["TorchConv_5"] = ("iconv3.0", "conv")
+    m["TorchConv_6"] = ("predict_disp3.0", "conv")
+    m["TorchConvTranspose_5"] = ("upconv2.0", "convT")
+    m["TorchConv_7"] = ("iconv2.0", "conv")
+    m["TorchConv_8"] = ("predict_disp2.0", "conv")
+    m["TorchConvTranspose_6"] = ("upconv1.0", "convT")
+    m["TorchConv_9"] = ("iconv1.0", "conv")
+    m["TorchConv_10"] = ("predict_disp1.0", "conv")
+    return m
+
+
+def _pose_trunk_mapping() -> Dict[str, Tuple[str, str]]:
+    m: Dict[str, Tuple[str, str]] = {}
+    for i in range(7):
+        m[f"TorchConv_{i}"] = (f"conv{i + 1}.0", "conv")
+    m["TorchConv_7"] = ("pose_pred", "conv")
+    return m
+
+
+def _posefc_mapping() -> Dict[str, Tuple[str, str]]:
+    m = _pose_trunk_mapping()
+    m["Dense_0"] = ("fc_loc.0", "linear_chw")  # needs flatten permutation
+    m["Dense_1"] = ("fc_loc.2", "linear")
+    m["Dense_2"] = ("fc_loc.4", "linear")
+    return m
+
+
+MODEL_MAPPINGS = {
+    "DispResNet": _dispresnet_mapping,
+    "DispNetS": _dispnets_mapping,
+    "PoseNet": _pose_trunk_mapping,
+    "PoseFc": _posefc_mapping,
+}
+
+
+def _strip_module_prefix(torch_state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop the DataParallel 'module.' prefix (the reference wraps its BTS
+    model purely for key compat, /root/reference/pseudo-lidar/DepthPipeline.py:122)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in torch_state.items()
+    }
+
+
+def _get_path(tree: Any, path: str) -> Any:
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return node
+
+
+def _set_path(tree: Dict, path: str, leaf_updates: Dict[str, np.ndarray]) -> None:
+    parts = path.split("/")
+    node = tree
+    for part in parts:
+        node = node.setdefault(part, {}) if part not in node else node[part]
+    node.update(leaf_updates)
+
+
+def import_torch_state(
+    flax_params: Any,
+    flax_batch_stats: Any,
+    torch_state: Dict[str, np.ndarray],
+    model_name: str,
+) -> Tuple[Any, Any]:
+    """Convert a reference-schema torch state dict into (params,
+    batch_stats) pytrees matching our flax modules.
+
+    Accepts numpy arrays or torch tensors as values.
+    """
+    if model_name not in MODEL_MAPPINGS:
+        raise KeyError(f"No torch mapping for model '{model_name}'")
+    mapping = MODEL_MAPPINGS[model_name]()
+    torch_state = _strip_module_prefix(
+        {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in torch_state.items()}
+    )
+
+    params = jax.tree.map(np.asarray, jax.device_get(flax_params))
+    batch_stats = jax.tree.map(np.asarray, jax.device_get(flax_batch_stats))
+
+    def to_plain(d):
+        if hasattr(d, "unfreeze"):
+            d = d.unfreeze()
+        return {k: to_plain(v) if isinstance(v, dict) else v for k, v in dict(d).items()}
+
+    params = to_plain(params)
+    batch_stats = to_plain(batch_stats)
+
+    for flax_path, (torch_prefix, kind) in mapping.items():
+        if kind == "conv":
+            weight = _t2f_conv(torch_state[f"{torch_prefix}.weight"])
+            leaf = _get_path(params, flax_path)
+            # TorchConv wraps nn.Conv as Conv_0; Conv3x3 likewise.
+            inner = "Conv_0" if "Conv_0" in leaf else None
+            target = leaf[inner] if inner else leaf
+            target["kernel"] = weight.astype(target["kernel"].dtype)
+            if f"{torch_prefix}.bias" in torch_state:
+                target["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
+                    target["bias"].dtype
+                )
+        elif kind == "convT":
+            leaf = _get_path(params, flax_path)
+            leaf["kernel"] = _t2f_convT(
+                torch_state[f"{torch_prefix}.weight"]
+            ).astype(leaf["kernel"].dtype)
+            if f"{torch_prefix}.bias" in torch_state:
+                leaf["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
+                    leaf["bias"].dtype
+                )
+        elif kind in ("linear", "linear_chw"):
+            leaf = _get_path(params, flax_path)
+            weight = _t2f_linear(torch_state[f"{torch_prefix}.weight"])
+            if kind == "linear_chw":
+                # torch flattened CHW; we flatten HWC. The conv feeding this
+                # FC has 12 output channels (pose_fc.py:36,80).
+                channels = 12
+                hw = weight.shape[0] // channels
+                # reference trains at 3x10 (pose_fc.py:40); infer H from
+                # aspect if possible, else assume H*W factorization is
+                # irrelevant because permutation only needs (C, H*W) split.
+                height, width = 1, hw  # permutation independent of H/W split
+                perm = chw_to_hwc_permutation(channels, height, width)
+                weight = weight[perm]
+            leaf["kernel"] = weight.astype(leaf["kernel"].dtype)
+            leaf["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
+                leaf["bias"].dtype
+            )
+        elif kind == "bn":
+            leaf = _get_path(params, flax_path)
+            leaf["scale"] = torch_state[f"{torch_prefix}.weight"].astype(
+                leaf["scale"].dtype
+            )
+            leaf["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
+                leaf["bias"].dtype
+            )
+            stats = _get_path(batch_stats, flax_path)
+            stats["mean"] = torch_state[f"{torch_prefix}.running_mean"].astype(
+                stats["mean"].dtype
+            )
+            stats["var"] = torch_state[f"{torch_prefix}.running_var"].astype(
+                stats["var"].dtype
+            )
+        else:
+            raise ValueError(kind)
+    return params, batch_stats
+
+
+def export_torch_state(
+    flax_params: Any, flax_batch_stats: Any, model_name: str
+) -> Dict[str, np.ndarray]:
+    """Inverse of import_torch_state: emit a reference-schema state dict
+    (numpy values) from flax variables — lets checkpoints trained here be
+    consumed by reference-style tooling."""
+    if model_name not in MODEL_MAPPINGS:
+        raise KeyError(f"No torch mapping for model '{model_name}'")
+    mapping = MODEL_MAPPINGS[model_name]()
+    params = jax.tree.map(np.asarray, jax.device_get(flax_params))
+    batch_stats = jax.tree.map(np.asarray, jax.device_get(flax_batch_stats))
+    out: Dict[str, np.ndarray] = {}
+    for flax_path, (torch_prefix, kind) in mapping.items():
+        if kind == "conv":
+            leaf = _get_path(params, flax_path)
+            target = leaf["Conv_0"] if "Conv_0" in leaf else leaf
+            out[f"{torch_prefix}.weight"] = _f2t_conv(np.asarray(target["kernel"]))
+            if "bias" in target:
+                out[f"{torch_prefix}.bias"] = np.asarray(target["bias"])
+        elif kind == "convT":
+            leaf = _get_path(params, flax_path)
+            out[f"{torch_prefix}.weight"] = _f2t_convT(np.asarray(leaf["kernel"]))
+            if "bias" in leaf:
+                out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
+        elif kind in ("linear", "linear_chw"):
+            leaf = _get_path(params, flax_path)
+            weight = np.asarray(leaf["kernel"])
+            if kind == "linear_chw":
+                channels = 12
+                hw = weight.shape[0] // channels
+                perm = chw_to_hwc_permutation(channels, 1, hw)
+                inv = np.argsort(perm)
+                weight = weight[inv]
+            out[f"{torch_prefix}.weight"] = _f2t_linear(weight)
+            out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
+        elif kind == "bn":
+            leaf = _get_path(params, flax_path)
+            stats = _get_path(batch_stats, flax_path)
+            out[f"{torch_prefix}.weight"] = np.asarray(leaf["scale"])
+            out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
+            out[f"{torch_prefix}.running_mean"] = np.asarray(stats["mean"])
+            out[f"{torch_prefix}.running_var"] = np.asarray(stats["var"])
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference .pth checkpoint file
+    ({epoch, dpth_mdl_state_dict, pose_mdl_state_dict, ...},
+    /root/reference/trainer.py:132-137)."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)

@@ -1,0 +1,174 @@
+"""Typed, validated configuration with reference-YAML compatibility.
+
+The reference reads raw YAML dicts with positional key access and no
+validation (/root/reference/train.py:4-5, trainer.py:47-57, SURVEY.md C13).
+This module accepts the exact same YAML schema (configs/basic_config.yaml)
+but parses it into dataclasses with defaults, type checks, and helpful
+errors; unknown reference-era keys (model.*.file, model.*.version) are
+accepted and ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class ModelHead:
+    name: str = "DispResNet"
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ModelConfig:
+    name: str = "model"
+    depth: ModelHead = field(default_factory=lambda: ModelHead("DispResNet"))
+    pose: ModelHead = field(default_factory=lambda: ModelHead("PoseNet"))
+
+
+@dataclass
+class AugmentationConfig:
+    image_width: int = 640
+    image_height: int = 192
+    shuffle: bool = True
+
+
+@dataclass
+class DatasetConfig:
+    path: str = ""
+    split: str = ""
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    sequence_length: int = 3
+    dataset: List[str] = field(default_factory=lambda: ["KITTI"])
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "Adam"
+    depth_lr: float = 1e-4
+    pose_lr: float = 1e-4
+
+
+@dataclass
+class SchedulerConfig:
+    name: str = "StepLR"
+    step_size: int = 30  # epochs between decays (torch StepLR semantics)
+    gamma: float = 0.1
+
+
+@dataclass
+class ActionConfig:
+    mode: str = "train"
+    mlops: bool = False
+    log_freq: int = 100
+    from_scratch: bool = True
+    split: List[float] = field(default_factory=lambda: [0.8, 0.2])
+    random_seed: int = 42
+    batch_size: int = 4
+    num_epochs: int = 30
+    num_workers: int = 8
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    semi_sup_pose: bool = False
+    loss_mode: str = "mean"
+    checkpoint_dir: str = "./pretrained"
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    datasets: DatasetConfig = field(default_factory=DatasetConfig)
+    action: ActionConfig = field(default_factory=ActionConfig)
+
+    @property
+    def image_shape(self):
+        aug = self.datasets.augmentation
+        return (aug.image_height, aug.image_width)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        model_raw = dict(raw.get("model", {}))
+        depth_raw = dict(model_raw.get("depth", {}) or {})
+        pose_raw = dict(model_raw.get("pose", {}) or {})
+        for legacy in ("file", "version"):
+            depth_raw.pop(legacy, None)
+            pose_raw.pop(legacy, None)
+        model = ModelConfig(
+            name=model_raw.get("name", "model"),
+            depth=ModelHead(
+                name=depth_raw.pop("name", "DispResNet"), kwargs=depth_raw
+            ),
+            pose=ModelHead(name=pose_raw.pop("name", "PoseNet"), kwargs=pose_raw),
+        )
+
+        ds_raw = dict(raw.get("datasets", {}))
+        aug_raw = dict(ds_raw.get("augmentation", {}) or {})
+        datasets = DatasetConfig(
+            path=ds_raw.get("path", ""),
+            split=ds_raw.get("split", ""),
+            augmentation=AugmentationConfig(
+                image_width=int(aug_raw.get("image_width", 640)),
+                image_height=int(aug_raw.get("image_height", 192)),
+                shuffle=bool(aug_raw.get("shuffle", True)),
+            ),
+            sequence_length=int(ds_raw.get("sequence_length", 3)),
+            dataset=list(ds_raw.get("dataset", ["KITTI"])),
+        )
+
+        act_raw = dict(raw.get("action", {}))
+        opt_raw = dict(act_raw.get("optimizer", {}) or {})
+        sched_raw = dict(act_raw.get("scheduler", {}) or {})
+        action = ActionConfig(
+            mode=act_raw.get("mode", "train"),
+            mlops=bool(act_raw.get("MLOps", act_raw.get("mlops", False))),
+            log_freq=int(act_raw.get("log_freq", 100)),
+            from_scratch=bool(act_raw.get("from_scratch", True)),
+            split=list(act_raw.get("split", [0.8, 0.2])),
+            random_seed=int(act_raw.get("random_seed", 42)),
+            batch_size=int(act_raw.get("batch_size", 4)),
+            num_epochs=int(act_raw.get("num_epochs", 30)),
+            num_workers=int(act_raw.get("num_workers", 8)),
+            optimizer=OptimizerConfig(
+                name=opt_raw.get("name", "Adam"),
+                depth_lr=float((opt_raw.get("depth") or {}).get("lr", 1e-4)),
+                pose_lr=float((opt_raw.get("pose") or {}).get("lr", 1e-4)),
+            ),
+            scheduler=SchedulerConfig(
+                name=sched_raw.get("name", "StepLR"),
+                step_size=int(sched_raw.get("step_size", 30)),
+                gamma=float(sched_raw.get("gamma", 0.1)),
+            ),
+            semi_sup_pose=bool(act_raw.get("semi_sup_pose", False)),
+            loss_mode=act_raw.get("loss_mode", "mean"),
+            checkpoint_dir=act_raw.get("checkpoint_dir", "./pretrained"),
+        )
+        config = cls(model=model, datasets=datasets, action=action)
+        config.validate()
+        return config
+
+    def validate(self) -> None:
+        if self.action.batch_size <= 0:
+            raise ValueError("action.batch_size must be positive")
+        if self.action.num_epochs < 0:
+            raise ValueError("action.num_epochs must be >= 0")
+        if self.datasets.sequence_length != 3:
+            raise ValueError(
+                "Only sequence_length=3 (tgt + 2 refs) is supported, like the "
+                "reference (configs/basic_config.yaml:17)"
+            )
+        if not (0 <= self.action.split[1] <= 1):
+            raise ValueError("validation split ratio must be in [0, 1]")
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config (reference schema compatible)."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f)
+    return Config.from_dict(raw or {})

@@ -1,0 +1,386 @@
+"""Training runtime: state, fused train step, epoch loop, checkpoints.
+
+Capability parity with /root/reference/trainer.py:40-337, redesigned the
+XLA way:
+
+  * The whole process_batch + backward + optimizer update
+    (/root/reference/trainer.py:255-313) is ONE jitted function — no
+    per-step host sync (the reference print(sum(loss)) at trainer.py:265
+    forces a device sync every iteration).
+  * Both depth passes (target frame and ref0 frame,
+    /root/reference/trainer.py:296-299) are folded into a single
+    2B-batch forward so the convs hit the MXU once at double batch.
+    (Deviation, documented: BatchNorm statistics are computed over the
+    joint 2B batch instead of two sequential B batches.)
+  * Scale-out is a Mesh + NamedSharding annotation on the same jitted
+    step (parallel/mesh.py); XLA inserts the gradient psum over "data".
+  * StepLR(step_size, gamma) becomes a staircase learning-rate schedule
+    with identical per-epoch semantics (/root/reference/trainer.py:76,282).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from unsupervised_pseuso_lidar_tpu.losses.total import total_loss
+from unsupervised_pseuso_lidar_tpu.models import build_model
+from unsupervised_pseuso_lidar_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_train_state,
+)
+from unsupervised_pseuso_lidar_tpu.train.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    """Pytree train state: parameters + BN stats + optimizer state.
+
+    The checkpoint layout mirrors the reference's dict
+    {epoch, dpth_mdl_state_dict, pose_mdl_state_dict, optimizer_state_dict}
+    (/root/reference/trainer.py:132-137) as {step, params.depth,
+    params.pose, batch_stats, opt_state}."""
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(
+    base_lr: float, step_size_epochs: int, gamma: float, steps_per_epoch: int
+) -> optax.Schedule:
+    """torch StepLR semantics: lr * gamma^(epoch // step_size)."""
+    boundary = max(1, step_size_epochs * steps_per_epoch)
+    return lambda step: base_lr * gamma ** (step // boundary)
+
+
+def make_optimizer(config: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam with the staircase schedule; per-net learning rates when they
+    differ (the reference silently uses the depth lr for everything,
+    /root/reference/trainer.py:48,75 — here pose_lr is honored)."""
+    opt = config.action.optimizer
+    sched = config.action.scheduler
+
+    def adam(lr):
+        return optax.adam(
+            make_lr_schedule(lr, sched.step_size, sched.gamma, steps_per_epoch)
+        )
+
+    if opt.depth_lr == opt.pose_lr:
+        return adam(opt.depth_lr)
+    return optax.multi_transform(
+        {"depth": adam(opt.depth_lr), "pose": adam(opt.pose_lr)},
+        param_labels={"depth": "depth", "pose": "pose"},
+    )
+
+
+def create_models(config: Config, dtype=None):
+    depth_model = build_model(config.model.depth.name, dtype=dtype,
+                              **config.model.depth.kwargs)
+    pose_model = build_model(config.model.pose.name, dtype=dtype,
+                             **config.model.pose.kwargs)
+    return depth_model, pose_model
+
+
+def create_train_state(
+    config: Config,
+    rng: jax.Array,
+    steps_per_epoch: int = 1000,
+    dtype=None,
+) -> Tuple[TrainState, Any, Any, optax.GradientTransformation]:
+    """Initialize models + optimizer. Returns (state, depth_model,
+    pose_model, tx)."""
+    depth_model, pose_model = create_models(config, dtype=dtype)
+    height, width = config.image_shape
+    batch = 1
+    img = jnp.zeros((batch, height, width, 3), dtype=dtype or jnp.float32)
+
+    rng_d, rng_p = jax.random.split(rng)
+    # jit the inits: eager per-op dispatch of ~50 convs is minutes on the
+    # CPU backend; one fused compile is far cheaper and caches persistently.
+    depth_vars = jax.jit(partial(depth_model.init, train=False))(rng_d, img)
+    pose_vars = jax.jit(pose_model.init)(rng_p, img, [img, img])
+
+    params = {
+        "depth": depth_vars["params"],
+        "pose": pose_vars["params"],
+    }
+    batch_stats = {
+        "depth": depth_vars.get("batch_stats", FrozenDict()),
+        "pose": pose_vars.get("batch_stats", FrozenDict()),
+    }
+    tx = make_optimizer(config, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+    return state, depth_model, pose_model, tx
+
+
+def forward_batch(
+    depth_model,
+    pose_model,
+    params,
+    batch_stats,
+    batch: Dict[str, jax.Array],
+    train: bool = True,
+    semi_sup_pose: bool = False,
+):
+    """Depth (tgt + ref0 folded into one 2B pass) and pose forward.
+
+    Parity: /root/reference/trainer.py:290-313 (process_batch).
+    Returns (disps_tgt, disps_ref0, poses, new_batch_stats).
+    """
+    tgt = batch["tgt"]
+    ref0 = batch["ref_imgs"][:, 0]
+    ref1 = batch["ref_imgs"][:, 1]
+    bsz = tgt.shape[0]
+
+    stacked = jnp.concatenate([tgt, ref0], axis=0)
+    depth_in = {"params": params["depth"], "batch_stats": batch_stats["depth"]}
+    if train:
+        disps, mutated = depth_model.apply(
+            depth_in, stacked, train=True, mutable=["batch_stats"]
+        )
+        new_depth_stats = mutated["batch_stats"]
+    else:
+        disps = depth_model.apply(depth_in, stacked, train=False)
+        new_depth_stats = batch_stats["depth"]
+    disps_tgt = [d[:bsz] for d in disps]
+    disps_ref0 = [d[bsz:] for d in disps]
+
+    if semi_sup_pose:
+        poses = batch["oxts"]  # [B, 2, 6] precomputed camera-frame odometry
+    else:
+        pose_in = {"params": params["pose"]}
+        if batch_stats["pose"]:
+            pose_in["batch_stats"] = batch_stats["pose"]
+        poses = pose_model.apply(pose_in, tgt, [ref0, ref1])
+
+    new_stats = {"depth": new_depth_stats, "pose": batch_stats["pose"]}
+    return disps_tgt, disps_ref0, poses, new_stats
+
+
+def make_train_step(
+    depth_model,
+    pose_model,
+    tx: optax.GradientTransformation,
+    loss_mode: str = "mean",
+    semi_sup_pose: bool = False,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step (optionally sharded over a mesh).
+
+    Returns step(state, batch) -> (state, metrics) where metrics carries
+    {loss, mul_app_loss, smoothness_loss} — the reference's wandb metric
+    names (/root/reference/trainer.py:274-275).
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        disps_tgt, disps_ref0, poses, new_stats = forward_batch(
+            depth_model, pose_model, params, batch_stats, batch,
+            train=True, semi_sup_pose=semi_sup_pose,
+        )
+        reproj, smooth = total_loss(
+            batch["tgt"],
+            [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
+            [disps_tgt, disps_ref0],
+            poses,
+            batch["intrinsics"],
+            mode=loss_mode,
+        )
+        loss = reproj + smooth
+        return loss, (reproj, smooth, new_stats)
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (reproj, smooth, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "mul_app_loss": reproj,
+            "smoothness_loss": smooth,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+
+    # Sharding flows from argument placement: the caller device_puts the
+    # state replicated and the batch sharded over "data" (parallel/mesh.py);
+    # XLA GSPMD then partitions the step and inserts the gradient psum over
+    # the data axis. Constrain outputs so the updated state stays replicated.
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        step,
+        out_shardings=(repl, repl),
+        donate_argnums=donate_argnums,
+    )
+
+
+def make_eval_step(depth_model, pose_model, loss_mode="mean",
+                   semi_sup_pose=False) -> Callable:
+    """Jitted validation step: loss + depth prediction (no grads).
+
+    Parity: /root/reference/trainer.py:315-337 (validate) with the broken
+    compute_errors input fixed (SURVEY.md §3.2)."""
+    from unsupervised_pseuso_lidar_tpu.eval.metrics import compute_errors
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
+
+    def step(state: TrainState, batch):
+        disps_tgt, disps_ref0, poses, _ = forward_batch(
+            depth_model, pose_model, state.params, state.batch_stats, batch,
+            train=False, semi_sup_pose=semi_sup_pose,
+        )
+        reproj, smooth = total_loss(
+            batch["tgt"],
+            [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
+            [disps_tgt, disps_ref0],
+            poses,
+            batch["intrinsics"],
+            mode=loss_mode,
+        )
+        depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
+        metrics = {"loss": reproj + smooth}
+        if "groundtruth" in batch:
+            metrics.update(compute_errors(batch["groundtruth"], depth_pred))
+        return metrics, depth_pred
+
+    return jax.jit(step)
+
+
+class Trainer:
+    """Config -> models/optimizer/data wiring + epoch loop.
+
+    Parity: /root/reference/trainer.py:40-127 (init), :242-288 (train /
+    run_epoch), :315-337 (validate), :129-152 (checkpointing via orbax in
+    train/checkpoint.py)."""
+
+    def __init__(
+        self,
+        config: Config,
+        dataset=None,
+        mesh=None,
+        dtype=None,
+        log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.dataset = dataset
+        self.log_fn = log_fn
+        self.epoch = 0
+
+        if dataset is not None:
+            steps_per_epoch = max(
+                1, len(dataset) // config.action.batch_size
+            )
+        else:
+            steps_per_epoch = 1000
+        self.steps_per_epoch = steps_per_epoch
+
+        rng = jax.random.PRNGKey(config.action.random_seed)
+        (self.state, self.depth_model, self.pose_model, self.tx) = (
+            create_train_state(config, rng, steps_per_epoch, dtype=dtype)
+        )
+        if mesh is not None:
+            self.state = shard_train_state(mesh, self.state)
+
+        self.train_step = make_train_step(
+            self.depth_model,
+            self.pose_model,
+            self.tx,
+            loss_mode=config.action.loss_mode,
+            semi_sup_pose=config.action.semi_sup_pose,
+            mesh=mesh,
+        )
+        self.eval_step = make_eval_step(
+            self.depth_model,
+            self.pose_model,
+            loss_mode=config.action.loss_mode,
+            semi_sup_pose=config.action.semi_sup_pose,
+        )
+
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
+
+        self.checkpoints = CheckpointManager(
+            os.path.join(config.action.checkpoint_dir, config.model.name)
+        )
+        if not config.action.from_scratch:
+            restored = self.checkpoints.restore(self.state)
+            if restored is not None:
+                self.state, self.epoch = restored
+
+    def _device_batch(self, batch):
+        batch = {
+            k: v for k, v in batch.items() if k != "groundtruth"
+        }
+        if self.mesh is not None:
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    def run_epoch(self, train_batches) -> Dict[str, float]:
+        """One pass over an iterable of host batches."""
+        last_metrics: Dict[str, float] = {}
+        for i, batch in enumerate(train_batches):
+            self.state, metrics = self.train_step(
+                self.state, self._device_batch(batch)
+            )
+            if self.log_fn is not None and (i + 1) % self.config.action.log_freq == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                self.log_fn(last_metrics, int(self.state.step))
+        # fetch final metrics once per epoch (single host sync)
+        last_metrics = {k: float(v) for k, v in metrics.items()}
+        return last_metrics
+
+    def validate(self, val_batches) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in val_batches:
+            metrics, _ = self.eval_step(self.state, batch)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def fit(self, make_train_iter, make_val_iter=None) -> Dict[str, float]:
+        """Full training loop: epochs, per-epoch validation + checkpoint.
+
+        Args:
+          make_train_iter: callable(epoch) -> iterable of batches.
+          make_val_iter: optional callable() -> iterable of batches.
+        """
+        metrics: Dict[str, float] = {}
+        for self.epoch in range(self.epoch, self.config.action.num_epochs):
+            metrics = self.run_epoch(make_train_iter(self.epoch))
+            if make_val_iter is not None:
+                val_metrics = self.validate(make_val_iter())
+                metrics.update({f"val_{k}": v for k, v in val_metrics.items()})
+                if self.log_fn is not None:
+                    self.log_fn(metrics, int(self.state.step))
+            self.checkpoints.save(self.state, self.epoch)
+        return metrics
