@@ -1,0 +1,128 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Measures the fused depth+pose+warp TRAIN step (BASELINE.json config #4:
+batch 12, DispResNet + PoseNet, multi-scale reprojection + smoothness,
+640x192) in frames/sec on the default JAX device, and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline is the ratio against the measured PyTorch-CPU baseline stored
+in BASELINE_MEASURED.json (produced by benchmarks/torch_baseline.py on
+this machine; the reference repo publishes no numbers of its own —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=12)
+    parser.add_argument("--height", type=int, default=192)
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    # Persistent compile cache: first bench run on a fresh chip pays the
+    # ~20-40s compile once; later runs start hot.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from unsupervised_pseuso_lidar_tpu.data.synthetic import synthetic_triplet_batch
+    from unsupervised_pseuso_lidar_tpu.train.config import Config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    config = Config.from_dict(
+        {
+            "model": {
+                "name": "bench",
+                "depth": {"name": "DispResNet"},
+                "pose": {"name": "PoseNet"},
+            },
+            "datasets": {
+                "augmentation": {
+                    "image_width": args.width,
+                    "image_height": args.height,
+                },
+                "sequence_length": 3,
+            },
+            "action": {"batch_size": args.batch},
+        }
+    )
+    state, depth_model, pose_model, tx = create_train_state(
+        config, jax.random.PRNGKey(0), steps_per_epoch=1000
+    )
+    step = make_train_step(depth_model, pose_model, tx)
+
+    raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in raw.items()
+        if k != "groundtruth"
+    }
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, batch)
+    jax.block_until_ready((state, metrics))
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    # block on the whole state: blocking only on the loss scalar lets XLA
+    # stream the param-update tail of the program past the timer
+    jax.block_until_ready((state, metrics))
+    dt = (time.perf_counter() - t0) / args.steps
+    fps = args.batch / dt
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
+    )
+    vs_baseline = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        if baseline.get("frames_per_sec"):
+            vs_baseline = fps / float(baseline["frames_per_sec"])
+
+    if args.verbose:
+        print(
+            f"# device={jax.devices()[0].device_kind} "
+            f"sec/step={dt:.4f} loss={float(metrics['loss']):.4f}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "train_fps_depth_pose_warp_b"
+                    f"{args.batch}_{args.width}x{args.height}"
+                ),
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+    return fps
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""PyTorch-CPU baseline measurement harness.
+
+BASELINE.md's rebuild target is ">=5x PyTorch-CPU-baseline frames/sec/chip
+for the fused depth+pose+warp train step"; the reference publishes no
+numbers and its stack cannot run here (no CUDA, no torchvision in this
+image). This harness is a self-contained torch implementation of the SAME
+workload — ResNet-18-encoder depth net + 7-conv pose net + inverse-warp
+photometric loss + Adam — used purely to measure the PyTorch-CPU
+frames/sec that bench.py compares against.
+
+Usage: python benchmarks/torch_baseline.py [--batch 12 --height 192
+--width 640 --steps 3] -> writes BASELINE_MEASURED.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def conv_bn(cin, cout, k=3, s=1):
+    return nn.Sequential(
+        nn.Conv2d(cin, cout, k, s, (k - 1) // 2, bias=False),
+        nn.BatchNorm2d(cout),
+        nn.ReLU(inplace=True),
+    )
+
+
+class BasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        r = x if self.down is None else self.down(x)
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return F.relu(out + r)
+
+
+class DepthNet(nn.Module):
+    """ResNet-18 encoder + skip decoder with a sigmoid disparity head."""
+
+    def __init__(self):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU(inplace=True),
+        )
+        self.pool = nn.MaxPool2d(3, 2, 1)
+        widths = [64, 64, 128, 256, 512]
+        self.layers = nn.ModuleList()
+        cin = 64
+        for i, w in enumerate(widths[1:]):
+            stride = 1 if i == 0 else 2
+            self.layers.append(
+                nn.Sequential(BasicBlock(cin, w, stride), BasicBlock(w, w))
+            )
+            cin = w
+        dec_w = [16, 32, 64, 128, 256]
+        self.upconvs0 = nn.ModuleList()
+        self.upconvs1 = nn.ModuleList()
+        enc_w = widths
+        for i in range(4, -1, -1):
+            cin_d = enc_w[-1] if i == 4 else dec_w[i + 1]
+            self.upconvs0.append(nn.Sequential(nn.Conv2d(cin_d, dec_w[i], 3, 1, 1), nn.ELU()))
+            skip = enc_w[i - 1] if i > 0 else 0
+            self.upconvs1.append(
+                nn.Sequential(nn.Conv2d(dec_w[i] + skip, dec_w[i], 3, 1, 1), nn.ELU())
+            )
+        self.disp = nn.Conv2d(dec_w[0], 1, 3, 1, 1)
+
+    def forward(self, x):
+        feats = [self.stem(x)]
+        out = self.pool(feats[-1])
+        for layer in self.layers:
+            out = layer(out)
+            feats.append(out)
+        x = feats[-1]
+        for j, i in enumerate(range(4, -1, -1)):
+            x = self.upconvs0[j](x)
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if i > 0:
+                x = torch.cat([x, feats[i - 1]], 1)
+            x = self.upconvs1[j](x)
+        return torch.sigmoid(self.disp(x))
+
+
+class PoseNet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        chans = [16, 32, 64, 128, 256, 256, 256]
+        kernels = [7, 5, 3, 3, 3, 3, 3]
+        layers = []
+        cin = 9
+        for c, k in zip(chans, kernels):
+            layers += [nn.Conv2d(cin, c, k, 2, (k - 1) // 2), nn.ReLU(inplace=True)]
+            cin = c
+        self.trunk = nn.Sequential(*layers)
+        self.head = nn.Conv2d(256, 12, 1)
+
+    def forward(self, tgt, refs):
+        x = torch.cat([tgt, *refs], 1)
+        x = self.head(self.trunk(x))
+        return 0.06 * x.mean(dim=(2, 3)).view(-1, 2, 6)
+
+
+def axisangle_to_matrix(vec):
+    angle = vec.norm(dim=-1, keepdim=True).clamp_min(1e-7)
+    axis = vec / angle
+    ca, sa = torch.cos(angle), torch.sin(angle)
+    c = 1 - ca
+    x, y, z = axis.unbind(-1)
+    ca, sa, c = ca.squeeze(-1), sa.squeeze(-1), c.squeeze(-1)
+    rot = torch.stack(
+        [
+            x * x * c + ca, x * y * c - z * sa, z * x * c + y * sa,
+            x * y * c + z * sa, y * y * c + ca, y * z * c - x * sa,
+            z * x * c - y * sa, y * z * c + x * sa, z * z * c + ca,
+        ],
+        dim=-1,
+    ).view(-1, 3, 3)
+    return rot
+
+
+def warp(img, depth, pose6, K):
+    b, _, h, w = img.shape
+    rot = axisangle_to_matrix(pose6[:, :3])
+    t = pose6[:, 3:]
+    Kinv = torch.inverse(K)
+    ys, xs = torch.meshgrid(
+        torch.arange(h, dtype=img.dtype), torch.arange(w, dtype=img.dtype),
+        indexing="ij",
+    )
+    grid = torch.stack([xs, ys, torch.ones_like(xs)], 0).view(1, 3, -1)
+    rays = Kinv @ grid
+    pts = rays * depth.view(b, 1, -1)
+    pts = rot @ pts + t.unsqueeze(-1)
+    uvw = K @ pts
+    uv = uvw[:, :2] / (uvw[:, 2:3] + 1e-5)
+    uv = uv.view(b, 2, h, w).permute(0, 2, 3, 1)
+    uv[..., 0] = (uv[..., 0] / (w - 1) - 0.5) * 2
+    uv[..., 1] = (uv[..., 1] / (h - 1) - 0.5) * 2
+    return F.grid_sample(img, uv, mode="bilinear", padding_mode="zeros",
+                         align_corners=True)
+
+
+def smooth_loss(depth):
+    dx = depth[..., 1:] - depth[..., :-1]
+    dy = depth[..., 1:, :] - depth[..., :-1, :]
+    dx2 = dx[..., 1:] - dx[..., :-1]
+    dy2 = dy[..., 1:, :] - dy[..., :-1, :]
+    dxdy = dx[..., 1:, :] - dx[..., :-1, :]
+    dydx = dy[..., 1:] - dy[..., :-1]
+    return (dx2.abs().mean() + dy2.abs().mean()
+            + dxdy.abs().mean() + dydx.abs().mean())
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=12)
+    parser.add_argument("--height", type=int, default=192)
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--steps", type=int, default=3)
+    parser.add_argument("--warmup", type=int, default=1)
+    parser.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_MEASURED.json"))
+    args = parser.parse_args()
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    torch.manual_seed(0)
+    depth_net, pose_net = DepthNet(), PoseNet()
+    params = list(depth_net.parameters()) + list(pose_net.parameters())
+    opt = torch.optim.Adam(params, lr=1e-4)
+
+    b, h, w = args.batch, args.height, args.width
+    tgt = torch.randn(b, 3, h, w)
+    refs = [torch.randn(b, 3, h, w) for _ in range(2)]
+    K = torch.tensor([[100.0, 0, w / 2], [0, 100.0, h / 2], [0, 0, 1]])
+
+    def step():
+        opt.zero_grad()
+        disp_t = depth_net(tgt)
+        disp_r = depth_net(refs[0])
+        poses = pose_net(tgt, refs)
+        d_t = 1.0 / (10 * disp_t.squeeze(1) + 0.01)
+        d_r = 1.0 / (10 * disp_r.squeeze(1) + 0.01)
+        loss = 0
+        for ref, p in zip(refs, [poses[:, 0], poses[:, 1]]):
+            loss = loss + (warp(ref, d_t, p, K) - tgt).abs().mean()
+        loss = loss / 2 + (warp(tgt, d_r, poses[:, 0], K) - refs[0]).abs().mean()
+        loss = loss / 2 + smooth_loss(d_t.unsqueeze(1))
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    for _ in range(args.warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        step()
+    dt = (time.perf_counter() - t0) / args.steps
+    fps = b / dt
+
+    result = {
+        "harness": "benchmarks/torch_baseline.py",
+        "workload": "depth+pose+warp train step",
+        "batch": b,
+        "height": h,
+        "width": w,
+        "torch_version": torch.__version__,
+        "device": "cpu",
+        "cpu": platform.processor() or platform.machine(),
+        "num_threads": torch.get_num_threads(),
+        "sec_per_step": round(dt, 4),
+        "frames_per_sec": round(fps, 4),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
