@@ -152,3 +152,32 @@ class TestPoseModels:
 def test_registry_unknown_model_raises():
     with pytest.raises(KeyError):
         build_model("NotAModel")
+
+
+class TestBts:
+    def test_bts_shapes_and_param_count(self):
+        model = build_model("BtsModel")
+        x = jnp.zeros((1, 64, 96, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        d8, d4, d2, r1, final = model.apply(variables, x, train=False)
+        assert final.shape == (1, 64, 96, 1)
+        assert d8.shape == d4.shape == d2.shape == (1, 64, 96, 1)
+        assert r1.shape == (1, 64, 96, 1)
+        vals = np.asarray(final)
+        assert (vals >= 0).all() and (vals <= 80.0).all()
+        # DenseNet-161 encoder channel widths are fixed by construction;
+        # spot-check total param count is in the BTS ballpark (~47M+)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+        assert n > 40_000_000, n
+
+    def test_lpg_constant_plane(self):
+        # A fronto-parallel plane (normal = +z, dist = d) must expand to
+        # constant depth d at every subpixel.
+        from unsupervised_pseuso_lidar_tpu.models.depth.bts import (
+            local_planar_guidance,
+        )
+
+        eq = jnp.zeros((1, 2, 3, 4)).at[..., 2].set(1.0).at[..., 3].set(7.0)
+        depth = local_planar_guidance(eq, 4)
+        assert depth.shape == (1, 8, 12)
+        np.testing.assert_allclose(np.asarray(depth), 7.0, rtol=1e-6)

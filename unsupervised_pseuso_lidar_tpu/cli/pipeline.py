@@ -1,0 +1,117 @@
+"""Streaming pseudo-LiDAR pipeline entry point.
+
+Capability parity with the reference's three ROS nodes run together
+(mock_publisher -> DepthPipeline -> PseudoLidarPipeline,
+/root/reference/pseudo-lidar/): replay a KITTI drive directory, run the
+depth model, backproject to pseudo-LiDAR clouds, and report throughput.
+Equivalent of test_pipeline.py's end-to-end check, minus ROS.
+
+Usage:
+  python -m unsupervised_pseuso_lidar_tpu.cli.pipeline \
+      --images KITTI/2011_09_26/..._sync/image_02/data \
+      --calib KITTI/2011_09_26 [--model BtsModel|DispResNet] \
+      [--rate 10] [--save-dir out/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="camera -> depth -> pseudo-LiDAR")
+    parser.add_argument("--images", required=True, help="directory of PNG frames")
+    parser.add_argument("--calib", required=True, help="KITTI calib directory")
+    parser.add_argument("--model", default="DispResNet",
+                        choices=["DispResNet", "DispNetS", "StnDispNet", "BtsModel"])
+    parser.add_argument("--height", type=int, default=192)
+    parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--rate", type=float, default=0.0,
+                        help="replay rate in Hz (0 = as fast as possible; the "
+                        "reference pipeline runs at 10)")
+    parser.add_argument("--sparsity", type=int, default=0)
+    parser.add_argument("--save-dir", default=None,
+                        help="save per-frame cloud .npy files here")
+    parser.add_argument("--max-frames", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
+    from unsupervised_pseuso_lidar_tpu.models import build_model
+    from unsupervised_pseuso_lidar_tpu.pseudolidar.pipeline import (
+        DepthToPointCloudPipeline,
+        FileImageSource,
+    )
+    from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import PseudoLiDAR
+
+    model = build_model(args.model)
+    img0 = jnp.zeros((1, args.height, args.width, 3))
+    if args.model == "BtsModel":
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), img0
+        )
+
+        def depth_fn(img):
+            outputs = model.apply(variables, img, train=False)
+            return outputs[-1][..., 0]  # final metric depth
+    else:
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), img0
+        )
+
+        def depth_fn(img):
+            disps = model.apply(variables, img, train=False)
+            return disp_to_depth(disps[0][..., 0])
+
+    projector = PseudoLiDAR(args.calib, sparsity=args.sparsity)
+    pipeline = DepthToPointCloudPipeline(depth_fn, projector)
+
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    import numpy as np
+
+    stats = {"frames": 0, "points_total": 0}
+    t0 = time.perf_counter()
+
+    def on_result(result):
+        stats["frames"] += 1
+        stats["points_total"] += result.points.shape[0]
+        if args.save_dir:
+            np.save(
+                os.path.join(args.save_dir, f"cloud_{result.frame_index:06d}.npy"),
+                result.points,
+            )
+
+    source = FileImageSource(
+        args.images, rate_hz=args.rate or None, size_hw=(args.height, args.width)
+    )
+    frames = iter(source)
+    if args.max_frames:
+        import itertools
+
+        frames = itertools.islice(frames, args.max_frames)
+
+    processed = pipeline.run(frames, on_result, queue_size=1)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "frames": processed,
+                "seconds": round(dt, 3),
+                "hz": round(processed / dt, 2) if dt else None,
+                "avg_points_per_cloud": (
+                    round(stats["points_total"] / max(stats["frames"], 1))
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

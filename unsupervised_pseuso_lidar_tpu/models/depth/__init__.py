@@ -1,3 +1,4 @@
+from unsupervised_pseuso_lidar_tpu.models.depth.bts import BtsModel
 from unsupervised_pseuso_lidar_tpu.models.depth.dispnet import DispNetS
 from unsupervised_pseuso_lidar_tpu.models.depth.resnet_dispnet import (
     DepthDecoder,
@@ -6,4 +7,4 @@ from unsupervised_pseuso_lidar_tpu.models.depth.resnet_dispnet import (
 )
 from unsupervised_pseuso_lidar_tpu.models.depth.stn_dispnet import StnDispNet
 
-__all__ = ["DispNetS", "DispResNet", "ResnetEncoder", "DepthDecoder", "StnDispNet"]
+__all__ = ["BtsModel", "DispNetS", "DispResNet", "ResnetEncoder", "DepthDecoder", "StnDispNet"]

@@ -38,6 +38,7 @@ def _populate():
     """Deferred imports to avoid import cycles at package load."""
     if MODEL_REGISTRY:
         return
+    from unsupervised_pseuso_lidar_tpu.models.depth.bts import BtsModel
     from unsupervised_pseuso_lidar_tpu.models.depth.dispnet import DispNetS
     from unsupervised_pseuso_lidar_tpu.models.depth.resnet_dispnet import DispResNet
     from unsupervised_pseuso_lidar_tpu.models.depth.stn_dispnet import StnDispNet
@@ -47,6 +48,7 @@ def _populate():
 
     MODEL_REGISTRY.update(
         {
+            "BtsModel": BtsModel,
             "DispNetS": DispNetS,
             "DispResNet": DispResNet,
             "StnDispNet": StnDispNet,
