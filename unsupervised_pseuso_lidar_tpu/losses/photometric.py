@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from unsupervised_pseuso_lidar_tpu.ops.ssim import ssim_distance
+from unsupervised_pseuso_lidar_tpu.ops.ssim import ssim_distance_fused
 
 
 def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
@@ -37,7 +37,7 @@ def photometric_loss(
     if no_ssim:
         photometric = l1
     else:
-        photometric = ssim_weight * ssim_distance(pred, target) + (
+        photometric = ssim_weight * ssim_distance_fused(pred, target) + (
             1.0 - ssim_weight
         ) * l1
     if clip_loss:

@@ -50,3 +50,47 @@ def ssim_distance(
     den = (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
     ssim = num / den
     return jnp.clip((1.0 - ssim) / 2.0, 0.0, 1.0)
+
+
+def _fits_vmem(shape) -> bool:
+    # whole-image blocks must fit VMEM alongside ~10 moment buffers
+    height, width = shape[1], shape[2]
+    return height * width * 4 * 12 < 12 * 1024 * 1024
+
+
+@jax.custom_vjp
+def ssim_distance_fused(x: jax.Array, y: jax.Array) -> jax.Array:
+    """SSIM distance with a fused Pallas TPU forward kernel.
+
+    Forward runs the single-HBM-pass kernel (ops/pallas/photometric.py)
+    when on TPU, fp32, and the image fits VMEM; the backward pass is the
+    XLA vjp of the jnp implementation (identical math), so the op is safe
+    inside jax.grad."""
+    return _ssim_forward_impl(x, y)
+
+
+def _ssim_forward_impl(x, y):
+    if (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        and _fits_vmem(x.shape)
+    ):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.photometric import (
+            ssim_distance_pallas,
+        )
+
+        return ssim_distance_pallas(x, y)
+    return ssim_distance(x, y)
+
+
+def _ssim_fwd(x, y):
+    return _ssim_forward_impl(x, y), (x, y)
+
+
+def _ssim_bwd(residuals, g):
+    x, y = residuals
+    _, vjp = jax.vjp(ssim_distance, x, y)
+    return vjp(g)
+
+
+ssim_distance_fused.defvjp(_ssim_fwd, _ssim_bwd)
