@@ -33,6 +33,8 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 model compute (fp32 params/loss)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -64,11 +66,17 @@ def main(argv=None):
                 },
                 "sequence_length": 3,
             },
-            "action": {"batch_size": args.batch},
+            "action": {
+                "batch_size": args.batch,
+                "precision": "bf16" if args.bf16 else "fp32",
+            },
         }
     )
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if args.bf16 else None
     state, depth_model, pose_model, tx = create_train_state(
-        config, jax.random.PRNGKey(0), steps_per_epoch=1000
+        config, jax.random.PRNGKey(0), steps_per_epoch=1000, dtype=dtype
     )
     step = make_train_step(depth_model, pose_model, tx)
 
@@ -114,6 +122,7 @@ def main(argv=None):
                 "metric": (
                     "train_fps_depth_pose_warp_b"
                     f"{args.batch}_{args.width}x{args.height}"
+                    + ("_bf16" if args.bf16 else "")
                 ),
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",

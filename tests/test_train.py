@@ -200,3 +200,16 @@ class TestMetrics:
         pred = jnp.asarray([[10.0, 99.0], [10.0, 99.0]])
         m = compute_errors(gt, pred)
         assert float(m["abs_rel"]) < 1e-6
+
+
+class TestToyProblem:
+    def test_depth_only_training_converges_toward_gt(self):
+        # The controlled-geometry oracle (SURVEY.md §4 toy problem): with
+        # ground-truth poses and a well-conditioned smoothness term, the
+        # depth net must move toward the true plane depth.
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+        from toy_problem import run
+
+        errors = run(steps=150, batch=4, height=64, width=96, verbose=False)
+        assert errors[-1] < errors[0], errors

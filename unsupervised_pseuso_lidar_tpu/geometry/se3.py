@@ -24,6 +24,16 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def is_rotation_matrix(rot, tol: float = 1e-6) -> jax.Array:
+    """||R.T R - I|| < tol — validity check for rotation matrices.
+
+    Parity: /root/reference/geometry/pose_geometry.py:9-14."""
+    rot = jnp.asarray(rot)
+    eye = jnp.eye(3, dtype=rot.dtype)
+    err = jnp.linalg.norm(_mm(jnp.swapaxes(rot, -1, -2), rot) - eye)
+    return err < tol
+
+
 def euler2mat(angles: jax.Array) -> jax.Array:
     """Euler angles -> rotation matrices, R = Rx @ Ry @ Rz.
 

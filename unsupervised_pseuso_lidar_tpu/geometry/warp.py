@@ -36,6 +36,21 @@ def depth_to_disp(
     return (1.0 / depth - beta) / alpha
 
 
+def disp_to_depth_ranged(
+    disp: jax.Array, min_depth: float = 0.1, max_depth: float = 100.0
+):
+    """monodepth2-style range-parameterized conversion: returns
+    (scaled_disp, depth) with depth in [min_depth, max_depth].
+
+    Parity: /root/reference/models/layers.py:10-19 (the variant the
+    decoder blocks ship with but the active loss path does not use).
+    """
+    min_disp = 1.0 / max_depth
+    max_disp = 1.0 / min_depth
+    scaled_disp = min_disp + (max_disp - min_disp) * disp
+    return scaled_disp, 1.0 / scaled_disp
+
+
 def inverse_warp_from_matrix(
     img: jax.Array,
     depth: jax.Array,

@@ -26,6 +26,8 @@ def total_loss(
     intrinsics: jax.Array,
     mode: str = "mean",
     smooth_decay: float = 2.3,
+    smooth_weight: float = 1.0,
+    smooth_on: str = "depth",
 ) -> Tuple[jax.Array, jax.Array]:
     """Compute (reprojection_loss, smoothness_loss).
 
@@ -36,11 +38,24 @@ def total_loss(
         of [B, h, w, 1] network outputs.
       poses: [B, 2, 6].
       intrinsics: [B, 3, 3] (or [3, 3]).
+      smooth_weight: scale on the smoothness term (the reference adds it
+        unweighted, trainer.py:264).
+      smooth_on: 'depth' reproduces the reference (losses.py:269 smooths
+        depths[0]) — NOTE this term is badly conditioned: near the
+        disparity ceiling depth ~ 1/disp amplifies noise by 1/disp^2 and
+        the smoothness gradient can dominate the photometric one, pushing
+        disparity to saturation. 'disp' smooths the raw disparity maps
+        (the monodepth2-standard, well-conditioned choice).
     """
     depths = [[disp_to_depth(d) for d in frame] for frame in disparities]
     loss_reproj = reprojection_loss(tgt, refs, depths, poses, intrinsics, mode=mode)
-    loss_smooth = smooth_loss(depths[0], decay=smooth_decay)
-    return loss_reproj, loss_smooth
+    if smooth_on == "depth":
+        loss_smooth = smooth_loss(depths[0], decay=smooth_decay)
+    elif smooth_on == "disp":
+        loss_smooth = smooth_loss(disparities[0], decay=smooth_decay)
+    else:
+        raise ValueError(f"smooth_on must be 'depth' or 'disp', got {smooth_on}")
+    return loss_reproj, smooth_weight * loss_smooth
 
 
 @dataclass
@@ -50,6 +65,8 @@ class Losses:
 
     mode: str = "mean"
     smooth_decay: float = 2.3
+    smooth_weight: float = 1.0
+    smooth_on: str = "depth"
 
     def forward(self, tgt, refs, disparities, poses, intrinsics, gt=None):
         return total_loss(
@@ -60,6 +77,8 @@ class Losses:
             intrinsics,
             mode=self.mode,
             smooth_decay=self.smooth_decay,
+            smooth_weight=self.smooth_weight,
+            smooth_on=self.smooth_on,
         )
 
     __call__ = forward

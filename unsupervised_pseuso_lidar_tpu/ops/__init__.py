@@ -4,7 +4,10 @@ from unsupervised_pseuso_lidar_tpu.ops.resample import (
     resize_nearest,
     upsample2x_nearest,
 )
-from unsupervised_pseuso_lidar_tpu.ops.ssim import ssim_distance
+from unsupervised_pseuso_lidar_tpu.ops.ssim import (
+    ssim_distance,
+    ssim_distance_fused,
+)
 
 __all__ = [
     "grid_sample",
@@ -12,4 +15,5 @@ __all__ = [
     "resize_nearest",
     "upsample2x_nearest",
     "ssim_distance",
+    "ssim_distance_fused",
 ]

@@ -75,6 +75,9 @@ class ActionConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     semi_sup_pose: bool = False
     loss_mode: str = "mean"
+    smooth_weight: float = 1.0
+    smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
+    precision: str = "fp32"  # 'fp32' | 'bf16' (bf16 model compute, fp32 params/loss)
     checkpoint_dir: str = "./pretrained"
 
 
@@ -144,6 +147,9 @@ class Config:
             ),
             semi_sup_pose=bool(act_raw.get("semi_sup_pose", False)),
             loss_mode=act_raw.get("loss_mode", "mean"),
+            smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
+            smooth_on=act_raw.get("smooth_on", "depth"),
+            precision=act_raw.get("precision", "fp32"),
             checkpoint_dir=act_raw.get("checkpoint_dir", "./pretrained"),
         )
         config = cls(model=model, datasets=datasets, action=action)
@@ -162,6 +168,8 @@ class Config:
             )
         if not (0 <= self.action.split[1] <= 1):
             raise ValueError("validation split ratio must be in [0, 1]")
+        if self.action.precision not in ("fp32", "bf16"):
+            raise ValueError("action.precision must be 'fp32' or 'bf16'")
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

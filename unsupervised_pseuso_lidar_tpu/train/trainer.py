@@ -181,6 +181,8 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_mode: str = "mean",
     semi_sup_pose: bool = False,
+    smooth_weight: float = 1.0,
+    smooth_on: str = "depth",
     mesh=None,
     donate: bool = True,
 ) -> Callable:
@@ -196,6 +198,15 @@ def make_train_step(
             depth_model, pose_model, params, batch_stats, batch,
             train=True, semi_sup_pose=semi_sup_pose,
         )
+        # loss math runs fp32 regardless of model compute dtype (bf16
+        # activations halve conv HBM traffic; the warp/photometric
+        # reductions stay full precision)
+        to_f32 = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32), t
+        )
+        disps_tgt, disps_ref0, poses = (
+            to_f32(disps_tgt), to_f32(disps_ref0), to_f32(poses)
+        )
         reproj, smooth = total_loss(
             batch["tgt"],
             [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
@@ -203,6 +214,8 @@ def make_train_step(
             poses,
             batch["intrinsics"],
             mode=loss_mode,
+            smooth_weight=smooth_weight,
+            smooth_on=smooth_on,
         )
         loss = reproj + smooth
         return loss, (reproj, smooth, new_stats)
@@ -303,6 +316,8 @@ class Trainer:
             steps_per_epoch = 1000
         self.steps_per_epoch = steps_per_epoch
 
+        if dtype is None and config.action.precision == "bf16":
+            dtype = jnp.bfloat16
         rng = jax.random.PRNGKey(config.action.random_seed)
         (self.state, self.depth_model, self.pose_model, self.tx) = (
             create_train_state(config, rng, steps_per_epoch, dtype=dtype)
@@ -316,6 +331,8 @@ class Trainer:
             self.tx,
             loss_mode=config.action.loss_mode,
             semi_sup_pose=config.action.semi_sup_pose,
+            smooth_weight=config.action.smooth_weight,
+            smooth_on=config.action.smooth_on,
             mesh=mesh,
         )
         self.eval_step = make_eval_step(
@@ -366,6 +383,47 @@ class Trainer:
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
         return {k: v / max(count, 1) for k, v in sums.items()}
+
+    def log_warps(self, batch, step: int = 0, out_dir: str = "./images") -> Dict[str, str]:
+        """Render target / warped-ref0 / depth PNGs for the first sample.
+
+        Parity: /root/reference/trainer.py:214-240 (log_warps), with the
+        missing pose_inv argument bug fixed (trainer.py:229 calls
+        inverse_warp without it) and no matplotlib dependency."""
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+            disp_to_depth,
+            inverse_warp,
+        )
+        from unsupervised_pseuso_lidar_tpu.utils.visualization import (
+            save_warp_visualization,
+        )
+
+        device_batch = self._device_batch(batch)
+        disps_tgt, _, poses, _ = forward_batch(
+            self.depth_model,
+            self.pose_model,
+            self.state.params,
+            self.state.batch_stats,
+            device_batch,
+            train=False,
+            semi_sup_pose=self.config.action.semi_sup_pose,
+        )
+        depth = disp_to_depth(disps_tgt[0][..., 0])
+        warped = inverse_warp(
+            device_batch["ref_imgs"][:, 0],
+            depth,
+            poses[:, 0],
+            device_batch["intrinsics"],
+        )
+        return save_warp_visualization(
+            out_dir,
+            step,
+            np.asarray(device_batch["tgt"][0]),
+            np.asarray(warped[0]),
+            np.asarray(depth[0]),
+        )
 
     def fit(self, make_train_iter, make_val_iter=None) -> Dict[str, float]:
         """Full training loop: epochs, per-epoch validation + checkpoint.
