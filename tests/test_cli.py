@@ -1,0 +1,97 @@
+"""CLI integration tests: train -> evaluate -> inference over the
+synthesized mini-KITTI tree (the full reference workflow,
+train.py / evaluate.py / inference.py, end to end)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.test_data import DATE, DRIVE, IMG_H, IMG_W, NUM_FRAMES, mini_kitti  # noqa: F401
+from unsupervised_pseuso_lidar_tpu.data.splits import kitti_depth_annotated_prepare
+
+
+@pytest.fixture()
+def cli_config(mini_kitti, tmp_path):  # noqa: F811
+    split_path = str(tmp_path / "split.txt")
+    kitti_depth_annotated_prepare(
+        mini_kitti["kitti"], mini_kitti["depth"], split_path
+    )
+    config = {
+        "model": {
+            "name": "cli_test",
+            "depth": {"name": "StnDispNet"},
+            "pose": {"name": "PoseNet"},
+        },
+        "datasets": {
+            "path": mini_kitti["kitti"],
+            "split": split_path,
+            "augmentation": {"image_width": 32, "image_height": 32, "shuffle": True},
+            "sequence_length": 3,
+        },
+        "action": {
+            "batch_size": 2,
+            "num_epochs": 1,
+            "num_workers": 2,
+            "log_freq": 1,
+            "split": [0.6, 0.4],
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "optimizer": {"depth": {"lr": 1e-4}, "pose": {"lr": 1e-4}},
+            "scheduler": {"step_size": 30, "gamma": 0.1},
+        },
+    }
+    path = tmp_path / "config.yaml"
+    path.write_text(yaml.safe_dump(config))
+    return str(path)
+
+
+def test_train_then_evaluate_then_inference(cli_config, mini_kitti, tmp_path, capsys):  # noqa: F811
+    from unsupervised_pseuso_lidar_tpu.cli import evaluate as eval_cli
+    from unsupervised_pseuso_lidar_tpu.cli import inference as infer_cli
+    from unsupervised_pseuso_lidar_tpu.cli import train as train_cli
+
+    trainer = train_cli.main(["--config", cli_config, "--mesh", "1"])
+    assert trainer.checkpoints.latest_epoch() == 0
+
+    metrics = eval_cli.main(["--config", cli_config, "--max-batches", "1"])
+    for key in ("abs_rel", "rms", "d1"):
+        assert key in metrics and np.isfinite(metrics[key])
+
+    img = os.path.join(
+        mini_kitti["kitti"], DATE, DRIVE, "image_02", "data", "0000000001.png"
+    )
+    out = str(tmp_path / "depth.npy")
+    depth = infer_cli.main(
+        ["--config", cli_config, "--image", img, "--output", out,
+         "--calib", os.path.join(mini_kitti["kitti"], DATE)]
+    )
+    assert depth.shape == (32, 32)
+    assert os.path.exists(out)
+
+
+def test_train_synthetic_flag(tmp_path):
+    from unsupervised_pseuso_lidar_tpu.cli import train as train_cli
+
+    config = {
+        "model": {
+            "name": "syn_cli",
+            "depth": {"name": "StnDispNet"},
+            "pose": {"name": "PoseNet"},
+        },
+        "datasets": {
+            "augmentation": {"image_width": 32, "image_height": 32},
+            "sequence_length": 3,
+        },
+        "action": {
+            "batch_size": 2,
+            "num_epochs": 1,
+            "log_freq": 100,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        },
+    }
+    path = tmp_path / "config.yaml"
+    path.write_text(yaml.safe_dump(config))
+    trainer = train_cli.main(["--config", str(path), "--synthetic", "--mesh", "1"])
+    assert trainer is not None

@@ -213,3 +213,23 @@ class TestToyProblem:
 
         errors = run(steps=150, batch=4, height=64, width=96, verbose=False)
         assert errors[-1] < errors[0], errors
+
+
+class TestSpatialSharding:
+    def test_2d_mesh_data_spatial(self):
+        # ("data", "spatial") mesh: batch over data, image H over spatial;
+        # GSPMD partitions the convolutions with halo exchange.
+        mesh = make_mesh(8, spatial=2)
+        assert mesh.axis_names == ("data", "spatial")
+        config = _small_config()
+        state, dm, pm, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        state = shard_train_state(mesh, state)
+        step = make_train_step(dm, pm, tx, mesh=mesh)
+        batch = synthetic_triplet_batch(4, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+        batch = shard_batch(mesh, batch)
+        assert "spatial" in str(batch["tgt"].sharding.spec)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))

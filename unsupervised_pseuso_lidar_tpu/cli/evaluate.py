@@ -32,7 +32,10 @@ def main(argv=None):
     config = load_config(args.config)
     if args.split:
         config.datasets.split = args.split
-    config.action.from_scratch = args.checkpoint is None and config.action.from_scratch
+    # evaluation restores the latest checkpoint when one exists
+    config.action.from_scratch = False
+    if args.checkpoint:
+        config.action.checkpoint_dir = args.checkpoint
 
     dataset = UnSupKittiDataset(config)
     trainer = Trainer(config, dataset=dataset)
