@@ -148,3 +148,37 @@ def test_orbax_save_restore(tmp_path):
     assert epoch == 3
     for l1, l2 in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(l1, l2)
+
+
+def test_bts_torch_roundtrip_and_function():
+    """BTS export->import reproduces tensors AND outputs (catches mapping
+    path mistakes: a missing leaf would silently keep old weights)."""
+    model, params, stats = _init("BtsModel", (1, 32, 32, 3))
+    params = _randomize(params, seed=5)
+    stats = jax.tree.map(lambda x: np.abs(np.asarray(x)) + 0.1, _randomize(stats, seed=6))
+
+    torch_state = export_torch_state(params, stats, "BtsModel")
+    # every flax param leaf must be covered by the mapping
+    n_leaves = len(jax.tree.leaves(params)) + len(jax.tree.leaves(stats))
+    assert len(torch_state) == n_leaves, (len(torch_state), n_leaves)
+    for key in (
+        "encoder.base_model.conv0.weight",
+        "encoder.base_model.denseblock1.denselayer1.conv1.weight",
+        "encoder.base_model.denseblock4.denselayer24.norm2.running_var",
+        "encoder.base_model.transition3.conv.weight",
+        "encoder.base_model.norm5.weight",
+        "decoder.upconv5.conv.weight",
+        "decoder.daspp_6.atrous_conv.first_bn.running_mean",
+        "decoder.daspp_24.atrous_conv.aconv_sequence.4.weight",
+        "decoder.reduc8x8.reduc.inter_128_128.0.weight",
+        "decoder.reduc1x1.reduc.final.0.weight",
+        "decoder.get_depth.0.weight",
+    ):
+        assert key in torch_state, key
+
+    params2, stats2 = import_torch_state(params, stats, torch_state, "BtsModel")
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)),
+                    dtype=jnp.float32)
+    out1 = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    out2 = model.apply({"params": params2, "batch_stats": stats2}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1[-1]), np.asarray(out2[-1]), atol=1e-6)

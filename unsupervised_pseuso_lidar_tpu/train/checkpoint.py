@@ -197,11 +197,105 @@ def _posefc_mapping() -> Dict[str, Tuple[str, str]]:
     return m
 
 
+def _bts_mapping() -> Dict[str, Tuple[str, str]]:
+    """BtsModel <-> reference BTS state dict
+    (/root/reference/pseudo-lidar/utils/model.py; encoder keys follow
+    torchvision densenet161.features naming under encoder.base_model)."""
+    m: Dict[str, Tuple[str, str]] = {}
+    enc = "DenseNet161Encoder_0"
+    te = "encoder.base_model"
+    m[f"{enc}/TorchConv_0"] = (f"{te}.conv0", "conv")
+    m[f"{enc}/_BN_0/BatchNorm_0"] = (f"{te}.norm0", "bn")
+    blocks = (6, 12, 36, 24)
+    layer_idx = 0
+    bn_idx = 1
+    conv_idx = 1
+    for b, num_layers in enumerate(blocks):
+        for l in range(num_layers):
+            t = f"{te}.denseblock{b + 1}.denselayer{l + 1}"
+            f = f"{enc}/DenseLayer_{layer_idx}"
+            m[f"{f}/_BN_0/BatchNorm_0"] = (f"{t}.norm1", "bn")
+            m[f"{f}/TorchConv_0"] = (f"{t}.conv1", "conv")
+            m[f"{f}/_BN_1/BatchNorm_0"] = (f"{t}.norm2", "bn")
+            m[f"{f}/TorchConv_1"] = (f"{t}.conv2", "conv")
+            layer_idx += 1
+        if b < 3:
+            t = f"{te}.transition{b + 1}"
+            m[f"{enc}/_BN_{bn_idx}/BatchNorm_0"] = (f"{t}.norm", "bn")
+            m[f"{enc}/TorchConv_{conv_idx}"] = (f"{t}.conv", "conv")
+            bn_idx += 1
+            conv_idx += 1
+    m[f"{enc}/_BN_{bn_idx}/BatchNorm_0"] = (f"{te}.norm5", "bn")
+
+    dec = "BtsDecoder_0"
+    td = "decoder"
+
+    def upconv(fi, tname):
+        m[f"{dec}/UpConv_{fi}/TorchConv_0"] = (f"{td}.{tname}.conv", "conv")
+
+    def bn(fi, tname):
+        m[f"{dec}/_BN_{fi}/BatchNorm_0"] = (f"{td}.{tname}", "bn")
+
+    def conv(fi, tname):
+        m[f"{dec}/TorchConv_{fi}"] = (f"{td}.{tname}", "conv")
+
+    def atrous(fi, tname, bn_first):
+        f = f"{dec}/AtrousConv_{fi}"
+        t = f"{td}.{tname}.atrous_conv"
+        if bn_first:
+            m[f"{f}/_BN_0/BatchNorm_0"] = (f"{t}.first_bn", "bn")
+            inner_bn = "_BN_1"
+        else:
+            inner_bn = "_BN_0"
+        m[f"{f}/TorchConv_0"] = (f"{t}.aconv_sequence.1", "conv")
+        m[f"{f}/{inner_bn}/BatchNorm_0"] = (f"{t}.aconv_sequence.2", "bn")
+        m[f"{f}/Conv_0"] = (f"{t}.aconv_sequence.4", "conv")
+
+    def reduction(fi, tname, num_in, num_out, is_final):
+        f = f"{dec}/Reduction1x1_{fi}"
+        t = f"{td}.{tname}.reduc"
+        width = num_out
+        ci = 0
+        cin = num_in
+        while width >= 4:
+            if width < 8:
+                if is_final:
+                    m[f"{f}/TorchConv_{ci}"] = (f"{t}.final.0", "conv")
+                else:
+                    m[f"{f}/TorchConv_{ci}"] = (f"{t}.plane_params", "conv")
+                break
+            m[f"{f}/TorchConv_{ci}"] = (f"{t}.inter_{cin}_{width}.0", "conv")
+            cin = width
+            width //= 2
+            ci += 1
+
+    nf = 512
+    upconv(0, "upconv5"); bn(0, "bn5"); conv(0, "conv5.0")
+    upconv(1, "upconv4"); bn(1, "bn4"); conv(1, "conv4.0"); bn(2, "bn4_2")
+    atrous(0, "daspp_3", bn_first=False)
+    atrous(1, "daspp_6", bn_first=True)
+    atrous(2, "daspp_12", bn_first=True)
+    atrous(3, "daspp_18", bn_first=True)
+    atrous(4, "daspp_24", bn_first=True)
+    conv(2, "daspp_conv.0")
+    reduction(0, "reduc8x8", nf // 4, nf // 4, False)
+    upconv(2, "upconv3"); bn(3, "bn3"); conv(3, "conv3.0")
+    reduction(1, "reduc4x4", nf // 4, nf // 8, False)
+    upconv(3, "upconv2"); bn(4, "bn2"); conv(4, "conv2.0")
+    reduction(2, "reduc2x2", nf // 8, nf // 16, False)
+    upconv(4, "upconv1")
+    reduction(3, "reduc1x1", nf // 16, nf // 32, True)
+    conv(5, "conv1.0")
+    conv(6, "get_depth.0")
+    return m
+
+
 MODEL_MAPPINGS = {
     "DispResNet": _dispresnet_mapping,
     "DispNetS": _dispnets_mapping,
     "PoseNet": _pose_trunk_mapping,
     "PoseFc": _posefc_mapping,
+    "BtsModel": _bts_mapping,
 }
 
 
