@@ -1,0 +1,185 @@
+"""Run the full benchmark matrix (the five BASELINE.json configs) and write
+benchmarks/REPORT.json.
+
+  1. single-image depth inference, 640x192, batch 1
+  2. depth+pose triplet forward with warp loss (no grads)
+  3. depth map -> pseudo-LiDAR point cloud (KITTI calib)
+  4. full train step, batch 12 (the headline bench.py metric)
+  5. streaming "epoch": synthetic loader -> prefetch -> train steps
+
+Usage: python benchmarks/run_all.py [--steps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, steps, warmup=3):
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--height", type=int, default=192)
+    parser.add_argument("--width", type=int, default=640)
+    args = parser.parse_args()
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_bench_cache"),
+    )
+
+    from unsupervised_pseuso_lidar_tpu.data.synthetic import synthetic_triplet_batch
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
+    from unsupervised_pseuso_lidar_tpu.losses.total import total_loss
+    from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+        depth_to_pointcloud,
+    )
+    from unsupervised_pseuso_lidar_tpu.train.config import Config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import (
+        create_train_state,
+        forward_batch,
+        make_train_step,
+    )
+
+    height, width = args.height, args.width
+    report = {
+        "device": jax.devices()[0].device_kind,
+        "backend": jax.default_backend(),
+        "image": f"{width}x{height}",
+    }
+
+    config = Config.from_dict(
+        {
+            "model": {
+                "name": "benchmatrix",
+                "depth": {"name": "DispResNet"},
+                "pose": {"name": "PoseNet"},
+            },
+            "datasets": {
+                "augmentation": {"image_width": width, "image_height": height},
+            },
+            "action": {"batch_size": 12},
+        }
+    )
+    state, depth_model, pose_model, tx = create_train_state(
+        config, jax.random.PRNGKey(0), 1000
+    )
+
+    # 1. single-image inference
+    # NOTE: params are passed as ARGUMENTS, never closed over — jitted
+    # functions with large baked constants execute ~100x slower through
+    # the tunneled device (constants re-streamed per call).
+    img1 = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, height, width, 3)),
+        dtype=jnp.float32,
+    )
+
+    @jax.jit
+    def infer(variables, img):
+        disps = depth_model.apply(variables, img, train=False)
+        return disp_to_depth(disps[0][..., 0])
+
+    depth_vars = {
+        "params": state.params["depth"],
+        "batch_stats": state.batch_stats["depth"],
+    }
+    dt = timeit(lambda: infer(depth_vars, img1), args.steps)
+    report["inference_b1_ms"] = round(dt * 1e3, 3)
+    report["inference_b1_fps"] = round(1.0 / dt, 2)
+
+    # 2. triplet forward + warp loss (no grads), batch 12
+    raw = synthetic_triplet_batch(12, height, width, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "groundtruth"}
+
+    @jax.jit
+    def fwd(params, stats, batch):
+        disps_tgt, disps_ref0, poses, _ = forward_batch(
+            depth_model, pose_model, params, stats, batch, train=False,
+        )
+        r, s = total_loss(
+            batch["tgt"], [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
+            [disps_tgt, disps_ref0], poses, batch["intrinsics"],
+        )
+        return r + s
+
+    dt = timeit(lambda: fwd(state.params, state.batch_stats, batch), args.steps)
+    report["triplet_forward_b12_ms"] = round(dt * 1e3, 3)
+    report["triplet_forward_b12_fps"] = round(12.0 / dt, 2)
+
+    # 3. depth -> pseudo-LiDAR cloud (full KITTI frame size)
+    proj = jnp.asarray(
+        [[721.5377, 0, 609.5593, 44.857],
+         [0, 721.5377, 172.854, 0.216],
+         [0, 0, 1.0, 0.0027]],
+        dtype=jnp.float32,
+    )
+    velo_to_cam = jnp.asarray(np.eye(4), dtype=jnp.float32)
+    depth_full = jnp.asarray(
+        np.random.default_rng(1).uniform(1, 80, (1, 375, 1242)),
+        dtype=jnp.float32,
+    )
+    dt = timeit(
+        lambda: depth_to_pointcloud(depth_full, proj, velo_to_cam), args.steps
+    )
+    report["pseudolidar_375x1242_ms"] = round(dt * 1e3, 3)
+    report["pseudolidar_fps"] = round(1.0 / dt, 2)
+
+    # 4. full train step, batch 12 (headline)
+    step = make_train_step(depth_model, pose_model, tx, donate=False)
+    dt = timeit(lambda: step(state, batch), args.steps)
+    report["train_step_b12_ms"] = round(dt * 1e3, 3)
+    report["train_step_b12_fps"] = round(12.0 / dt, 2)
+
+    # 5. streaming epoch: loader -> prefetch -> train (host pipeline incl.)
+    from unsupervised_pseuso_lidar_tpu.data.pipeline import prefetch_to_device
+    from unsupervised_pseuso_lidar_tpu.data.synthetic import (
+        SyntheticTripletDataset,
+    )
+
+    dataset = SyntheticTripletDataset(20, 12, height, width, seed=0, uint8_images=True)
+    # pre-generate host batches: scene synthesis is not part of the
+    # pipeline under test (a real epoch decodes PNGs instead)
+    host_batches = [
+        {k: v for k, v in b.items() if k != "groundtruth"}
+        for b in dataset.batches(0)
+    ]
+    s = state
+    t0 = time.perf_counter()
+    n = 0
+    for b in prefetch_to_device(iter(host_batches), size=2):
+        s, m = step(s, b)
+        n += 12
+    jax.block_until_ready((s, m))
+    dt = (time.perf_counter() - t0)
+    report["streaming_epoch_fps"] = round(n / dt, 2)
+    report["streaming_epoch_frames"] = n
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REPORT.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

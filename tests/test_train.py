@@ -233,3 +233,41 @@ class TestSpatialSharding:
         assert "spatial" in str(batch["tgt"].sharding.spec)
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestAccumAndRemat:
+    def test_grad_accumulation_matches_full_batch(self):
+        # accum over 2 micro-batches ~ one step on the full batch (BN stats
+        # paths differ slightly; losses must be close).
+        config = _small_config()
+        batch = synthetic_triplet_batch(4, 64, 96, seed=1)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+
+        s1, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        full = make_train_step(dm, pm, tx, donate=False)
+        s1b, m1 = full(s1, batch)
+
+        s2, dm2, pm2, tx2 = create_train_state(config, jax.random.PRNGKey(0), 10)
+        accum = make_train_step(dm2, pm2, tx2, accum_steps=2, donate=False)
+        s2b, m2 = accum(s2, batch)
+        assert np.isfinite(float(m2["loss"]))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=0.1)
+
+    def test_remat_step_matches_plain(self):
+        config = _small_config()
+        batch = synthetic_triplet_batch(2, 64, 96, seed=2)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+        s1, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        plain = make_train_step(dm, pm, tx, donate=False)
+        _, m1 = plain(s1, batch)
+        s2, dm2, pm2, tx2 = create_train_state(config, jax.random.PRNGKey(0), 10)
+        remat = make_train_step(dm2, pm2, tx2, remat=True, donate=False)
+        _, m2 = remat(s2, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_distributed_initialize_noop_without_env(monkeypatch):
+    from unsupervised_pseuso_lidar_tpu.parallel.distributed import initialize
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize() is False

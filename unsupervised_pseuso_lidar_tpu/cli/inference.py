@@ -73,16 +73,17 @@ def main(argv=None):
 
     img, _, _ = load_image(args.image, config.image_shape)
 
+    # params passed as args (large jit-baked constants are pathologically
+    # slow on tunneled devices)
     @jax.jit
-    def run(img):
-        disps = depth_model.apply(
-            {"params": params["depth"], "batch_stats": batch_stats["depth"]},
-            img[None],
-            train=False,
-        )
+    def run(variables, img):
+        disps = depth_model.apply(variables, img[None], train=False)
         return disp_to_depth(disps[0][..., 0])[0]
 
-    depth = np.asarray(run(jnp.asarray(img)))
+    depth_vars = {
+        "params": params["depth"], "batch_stats": batch_stats["depth"]
+    }
+    depth = np.asarray(run(depth_vars, jnp.asarray(img)))
     print(
         f"depth: shape={depth.shape} min={depth.min():.2f} "
         f"max={depth.max():.2f} median={np.median(depth):.2f} m"

@@ -51,25 +51,22 @@ def main(argv=None):
 
     model = build_model(args.model)
     img0 = jnp.zeros((1, args.height, args.width, 3))
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), img0
+    )
     if args.model == "BtsModel":
-        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-            jax.random.PRNGKey(0), img0
-        )
-
-        def depth_fn(img):
+        def depth_fn(variables, img):
             outputs = model.apply(variables, img, train=False)
             return outputs[-1][..., 0]  # final metric depth
     else:
-        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-            jax.random.PRNGKey(0), img0
-        )
-
-        def depth_fn(img):
+        def depth_fn(variables, img):
             disps = model.apply(variables, img, train=False)
             return disp_to_depth(disps[0][..., 0])
 
     projector = PseudoLiDAR(args.calib, sparsity=args.sparsity)
-    pipeline = DepthToPointCloudPipeline(depth_fn, projector)
+    pipeline = DepthToPointCloudPipeline(
+        depth_fn, projector, depth_fn_args=(variables,)
+    )
 
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)

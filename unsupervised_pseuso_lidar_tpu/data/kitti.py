@@ -35,6 +35,7 @@ from unsupervised_pseuso_lidar_tpu.geometry.oxts import (
 from unsupervised_pseuso_lidar_tpu.utils.transforms import (
     load_depth_png,
     load_image,
+    load_image_uint8,
 )
 
 _DATE_RE = re.compile(r"(\d{4}_\d{2}_\d{2})")
@@ -73,11 +74,14 @@ class UnSupKittiDataset:
       <tgt.png> <ref0.png> <ref1.png> <gt_depth.png>
     """
 
-    def __init__(self, config, transforms=None):
+    def __init__(self, config, transforms=None, uint8_images: bool = True):
         self.split = config.datasets.split
         self.img_width = config.datasets.augmentation.image_width
         self.img_height = config.datasets.augmentation.image_height
         self.seq_len = config.datasets.sequence_length
+        # ship raw uint8 to the device and normalize there (4x less
+        # host->device bandwidth; the train/eval steps handle both dtypes)
+        self.uint8_images = uint8_images
         self.samples: List[Sample] = []
         self._calib_cache: Dict[str, Calibration] = {}
         self._init_samples()
@@ -120,9 +124,10 @@ class UnSupKittiDataset:
         sample = self.samples[index]
         size = (self.img_height, self.img_width)
 
-        tgt, orig_h, orig_w = load_image(sample.tgt, size)
+        loader = load_image_uint8 if self.uint8_images else load_image
+        tgt, orig_h, orig_w = loader(sample.tgt, size)
         refs = np.stack(
-            [load_image(p, size)[0] for p in sample.ref_imgs], axis=0
+            [loader(p, size)[0] for p in sample.ref_imgs], axis=0
         )
 
         intrinsics = sample.intrinsics.copy()
@@ -138,9 +143,10 @@ class UnSupKittiDataset:
             axis=0,
         )
 
+        img_dtype = np.uint8 if self.uint8_images else np.float32
         out = {
-            "tgt": tgt.astype(np.float32),
-            "ref_imgs": refs.astype(np.float32),
+            "tgt": tgt.astype(img_dtype),
+            "ref_imgs": refs.astype(img_dtype),
             "intrinsics": intrinsics.astype(np.float32),
             "oxts": oxts.astype(np.float32),
         }
@@ -192,9 +198,10 @@ class UnSupStackedDataset(UnSupKittiDataset):
     """Sliding-window dataset over raw drive directories (no split file,
     no GT). Parity: /root/reference/dataloaders.py:176-251."""
 
-    def __init__(self, config, transforms=None):
+    def __init__(self, config, transforms=None, uint8_images: bool = True):
         self.root = config.datasets.path
         self.split = None
+        self.uint8_images = uint8_images
         self.img_width = config.datasets.augmentation.image_width
         self.img_height = config.datasets.augmentation.image_height
         self.seq_len = config.datasets.sequence_length

@@ -109,6 +109,7 @@ class SyntheticTripletDataset:
         seed: int = 0,
         depth: float = 10.0,
         tx: float = 0.3,
+        uint8_images: bool = False,
     ):
         self.num_batches = num_batches
         self.batch_size = batch_size
@@ -117,13 +118,14 @@ class SyntheticTripletDataset:
         self.seed = seed
         self.depth = depth
         self.tx = tx
+        self.uint8_images = uint8_images
 
     def __len__(self) -> int:
         return self.num_batches * self.batch_size
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(self.num_batches):
-            yield synthetic_triplet_batch(
+            batch = synthetic_triplet_batch(
                 self.batch_size,
                 self.height,
                 self.width,
@@ -131,3 +133,7 @@ class SyntheticTripletDataset:
                 depth=self.depth,
                 tx=self.tx,
             )
+            if self.uint8_images:
+                batch["tgt"] = (batch["tgt"] * 255).astype(np.uint8)
+                batch["ref_imgs"] = (batch["ref_imgs"] * 255).astype(np.uint8)
+            yield batch

@@ -82,18 +82,23 @@ class DepthToPointCloudPipeline:
       projector: a PseudoLiDAR instance (calibration-bound).
     """
 
-    def __init__(self, depth_fn: Callable, projector: PseudoLiDAR):
+    def __init__(self, depth_fn: Callable, projector: PseudoLiDAR,
+                 depth_fn_args: tuple = ()):
         self.projector = projector
+        # depth_fn_args lets callers pass model variables as jit ARGUMENTS
+        # instead of closures — large arrays baked into the executable as
+        # constants are re-streamed per call on tunneled devices.
+        self._depth_args = depth_fn_args
 
-        def fused(img):
-            depth = depth_fn(img)
+        def fused(args, img):
+            depth = depth_fn(*args, img) if args else depth_fn(img)
             points, valid = projector.project_batch(depth)
             return depth, points, valid
 
         self._fused = jax.jit(fused)
 
     def process(self, img: np.ndarray, frame_index: int = 0) -> PipelineResult:
-        depth, points, valid = self._fused(jnp.asarray(img)[None])
+        depth, points, valid = self._fused(self._depth_args, jnp.asarray(img)[None])
         depth = np.asarray(depth[0])
         cloud = np.asarray(points[0])[np.asarray(valid[0])]
         return PipelineResult(frame_index, depth, cloud)

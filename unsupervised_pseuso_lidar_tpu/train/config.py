@@ -78,6 +78,8 @@ class ActionConfig:
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
     precision: str = "fp32"  # 'fp32' | 'bf16' (bf16 model compute, fp32 params/loss)
+    accum_steps: int = 1
+    remat: bool = False
     checkpoint_dir: str = "./pretrained"
 
 
@@ -150,6 +152,8 @@ class Config:
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
             precision=act_raw.get("precision", "fp32"),
+            accum_steps=int(act_raw.get("accum_steps", 1)),
+            remat=bool(act_raw.get("remat", False)),
             checkpoint_dir=act_raw.get("checkpoint_dir", "./pretrained"),
         )
         config = cls(model=model, datasets=datasets, action=action)

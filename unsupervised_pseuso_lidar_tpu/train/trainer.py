@@ -148,6 +148,22 @@ def forward_batch(
     tgt = batch["tgt"]
     ref0 = batch["ref_imgs"][:, 0]
     ref1 = batch["ref_imgs"][:, 1]
+    if tgt.dtype == jnp.uint8:
+        # host ships raw bytes (4x less transfer bandwidth than fp32 —
+        # decisive when the host<->device link is the bottleneck);
+        # ImageNet normalization happens here on device.
+        from unsupervised_pseuso_lidar_tpu.utils.transforms import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        def norm(x):
+            return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+        tgt, ref0, ref1 = norm(tgt), norm(ref0), norm(ref1)
     bsz = tgt.shape[0]
 
     stacked = jnp.concatenate([tgt, ref0], axis=0)
@@ -183,6 +199,8 @@ def make_train_step(
     semi_sup_pose: bool = False,
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
+    accum_steps: int = 1,
+    remat: bool = False,
     mesh=None,
     donate: bool = True,
 ) -> Callable:
@@ -191,6 +209,15 @@ def make_train_step(
     Returns step(state, batch) -> (state, metrics) where metrics carries
     {loss, mul_app_loss, smoothness_loss} — the reference's wandb metric
     names (/root/reference/trainer.py:274-275).
+
+    Args:
+      accum_steps: gradient accumulation via lax.scan — the batch's leading
+        dim must be accum_steps * micro_batch; grads are averaged over the
+        micro-steps before ONE optimizer update (the reference has none,
+        SURVEY.md §2 parallelism table).
+      remat: rematerialize forward activations during backward
+        (jax.checkpoint) — trades ~1/3 extra FLOPs for activation memory,
+        enabling larger per-chip batches at high resolutions.
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -220,11 +247,42 @@ def make_train_step(
         loss = reproj + smooth
         return loss, (reproj, smooth, new_stats)
 
+    maybe_remat_loss = jax.checkpoint(loss_fn) if remat else loss_fn
+
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (reproj, smooth, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch
-        )
+        grad_fn = jax.value_and_grad(maybe_remat_loss, has_aux=True)
+        if accum_steps > 1:
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum_steps, -1, *x.shape[1:]), batch
+            )
+
+            def scan_body(carry, micro_batch):
+                grad_sum, loss_sum, reproj_sum, smooth_sum, stats = carry
+                (loss, (reproj, smooth, new_stats)), grads = grad_fn(
+                    state.params, stats, micro_batch
+                )
+                carry = (
+                    jax.tree.map(jnp.add, grad_sum, grads),
+                    loss_sum + loss,
+                    reproj_sum + reproj,
+                    smooth_sum + smooth,
+                    new_stats,
+                )
+                return carry, None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, reproj, smooth, new_stats), _ = jax.lax.scan(
+                scan_body,
+                (zeros, 0.0, 0.0, 0.0, state.batch_stats),
+                micro,
+            )
+            scale = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            loss, reproj, smooth = loss * scale, reproj * scale, smooth * scale
+        else:
+            (loss, (reproj, smooth, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch
+            )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -333,6 +391,8 @@ class Trainer:
             semi_sup_pose=config.action.semi_sup_pose,
             smooth_weight=config.action.smooth_weight,
             smooth_on=config.action.smooth_on,
+            accum_steps=config.action.accum_steps,
+            remat=config.action.remat,
             mesh=mesh,
         )
         self.eval_step = make_eval_step(

@@ -63,6 +63,27 @@ def load_depth_png(
     return np.asarray(img, dtype=np.float32) / 256.0
 
 
+def load_image_uint8(
+    path: str, size_hw: Optional[Tuple[int, int]] = None
+) -> Tuple[np.ndarray, int, int]:
+    """Load an image as raw uint8 HWC (resized, NOT normalized).
+
+    The training pipeline ships these bytes to the device and normalizes
+    there — 4x less host->device bandwidth than fp32, which dominates when
+    the transport link is the bottleneck (see train/trainer.forward_batch).
+    """
+    from PIL import Image
+
+    img = Image.open(path)
+    orig_w, orig_h = img.size
+    if size_hw is not None and (orig_h, orig_w) != size_hw:
+        img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr, orig_h, orig_w
+
+
 def normalize_image(img: np.ndarray) -> np.ndarray:
     """ImageNet-normalize a float HWC image in [0, 1]."""
     return (img - IMAGENET_MEAN) / IMAGENET_STD
