@@ -1,0 +1,110 @@
+"""Utility-module tests: profiling, visualization, logging."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unsupervised_pseuso_lidar_tpu.utils.profiling import StepTimer, annotate, trace
+from unsupervised_pseuso_lidar_tpu.utils.transforms import (
+    load_image,
+    load_image_uint8,
+    normalize_image,
+    unnormalize_image,
+)
+from unsupervised_pseuso_lidar_tpu.utils.visualization import (
+    depth_to_image,
+    image_to_uint8,
+    save_warp_visualization,
+)
+
+
+def test_step_timer_summary():
+    timer = StepTimer()
+    for _ in range(5):
+        timer.start()
+        x = jnp.ones((8, 8)) * 2
+        timer.stop(x)
+    summary = timer.summary(batch_size=4)
+    assert summary["steps"] == 5
+    assert summary["mean_s"] > 0
+    assert summary["frames_per_sec"] > 0
+
+
+def test_profiler_trace_smoke(tmp_path):
+    with trace(str(tmp_path)):
+        with annotate("unit"):
+            jax.block_until_ready(jnp.ones((16, 16)) @ jnp.ones((16, 16)))
+    # trace files written
+    assert any(os.scandir(str(tmp_path)))
+
+
+def test_normalize_roundtrip():
+    img = np.random.default_rng(0).uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        unnormalize_image(normalize_image(img)), img, atol=1e-6
+    )
+
+
+def test_load_image_uint8_matches_float(tmp_path):
+    from PIL import Image
+
+    arr = (np.random.default_rng(0).uniform(0, 255, (10, 12, 3))).astype(np.uint8)
+    path = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(path)
+    u8, h, w = load_image_uint8(path)
+    f32, h2, w2 = load_image(path, normalize=False)
+    assert (h, w) == (h2, w2) == (10, 12)
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32, atol=1e-6)
+
+
+def test_visualization_outputs(tmp_path):
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(-1, 1, (12, 16, 3)).astype(np.float32)
+    depth = rng.uniform(1, 50, (12, 16)).astype(np.float32)
+    vis = depth_to_image(depth)
+    assert vis.shape == (12, 16, 3) and vis.dtype == np.uint8
+    img8 = image_to_uint8(tgt)
+    assert img8.dtype == np.uint8
+    paths = save_warp_visualization(str(tmp_path), 3, tgt, tgt, depth)
+    for p in paths.values():
+        assert os.path.exists(p)
+
+
+def test_trainer_sigint_checkpoints(tmp_path):
+    import signal
+
+    from unsupervised_pseuso_lidar_tpu.data.synthetic import SyntheticTripletDataset
+    from unsupervised_pseuso_lidar_tpu.train.config import Config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import Trainer
+
+    config = Config.from_dict(
+        {
+            "model": {"depth": {"name": "StnDispNet"}, "pose": {"name": "PoseNet"}},
+            "datasets": {"augmentation": {"image_width": 32, "image_height": 32}},
+            "action": {
+                "batch_size": 1,
+                "num_epochs": 5,
+                "checkpoint_dir": str(tmp_path),
+            },
+        }
+    )
+    dataset = SyntheticTripletDataset(1, 1, 32, 32)
+    trainer = Trainer(config, dataset=dataset)
+
+    calls = {"n": 0}
+    original_run = trainer.run_epoch
+
+    def run_and_interrupt(batches):
+        calls["n"] += 1
+        result = original_run(batches)
+        os.kill(os.getpid(), signal.SIGINT)  # caught by fit's handler
+        return result
+
+    trainer.run_epoch = run_and_interrupt
+    trainer.fit(make_train_iter=dataset.batches)
+    # interrupted after the first epoch, checkpoint written, loop stopped
+    assert calls["n"] == 1
+    assert trainer.checkpoints.latest_epoch() == 0

@@ -491,14 +491,43 @@ class Trainer:
         Args:
           make_train_iter: callable(epoch) -> iterable of batches.
           make_val_iter: optional callable() -> iterable of batches.
+        Preemption safety: a SIGTERM/SIGINT during training checkpoints the
+        current state before exiting (the reference's only recovery is the
+        last per-epoch file, SURVEY.md §5) — resuming with
+        from_scratch: False continues from it.
         """
+        import signal
+
+        interrupted = {"flag": False}
+
+        def _on_signal(signum, frame):
+            interrupted["flag"] = True
+
+        previous_handlers = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                previous_handlers[sig] = signal.signal(sig, _on_signal)
+        except ValueError:
+            previous_handlers = {}  # not in main thread; skip handlers
+
         metrics: Dict[str, float] = {}
-        for self.epoch in range(self.epoch, self.config.action.num_epochs):
-            metrics = self.run_epoch(make_train_iter(self.epoch))
-            if make_val_iter is not None:
-                val_metrics = self.validate(make_val_iter())
-                metrics.update({f"val_{k}": v for k, v in val_metrics.items()})
-                if self.log_fn is not None:
-                    self.log_fn(metrics, int(self.state.step))
-            self.checkpoints.save(self.state, self.epoch)
+        try:
+            for self.epoch in range(self.epoch, self.config.action.num_epochs):
+                metrics = self.run_epoch(make_train_iter(self.epoch))
+                if make_val_iter is not None:
+                    val_metrics = self.validate(make_val_iter())
+                    metrics.update(
+                        {f"val_{k}": v for k, v in val_metrics.items()}
+                    )
+                    if self.log_fn is not None:
+                        self.log_fn(metrics, int(self.state.step))
+                self.checkpoints.save(self.state, self.epoch)
+                if interrupted["flag"]:
+                    print(
+                        f"[trainer] interrupted: checkpointed epoch {self.epoch}"
+                    )
+                    break
+        finally:
+            for sig, handler in previous_handlers.items():
+                signal.signal(sig, handler)
         return metrics
