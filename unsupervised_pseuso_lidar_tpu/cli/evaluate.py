@@ -23,8 +23,6 @@ def main(argv=None):
     parser.add_argument("--max-batches", type=int, default=0)
     args = parser.parse_args(argv)
 
-    import jax
-
     from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
     from unsupervised_pseuso_lidar_tpu.train.config import load_config
     from unsupervised_pseuso_lidar_tpu.train.trainer import Trainer

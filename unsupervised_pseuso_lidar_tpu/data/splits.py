@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Optional
+from typing import List
 
 
 def _frame_path(image_dir: str, index: int) -> str:

@@ -15,7 +15,7 @@ fronto-parallel plane observed by a translating camera, so that
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -13,7 +13,6 @@ vectorizes over (frames, scales) with stacked tensors.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from unsupervised_pseuso_lidar_tpu.geometry.camera import backproject, project
 from unsupervised_pseuso_lidar_tpu.geometry.se3 import pose_matrix

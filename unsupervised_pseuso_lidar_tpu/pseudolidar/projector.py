@@ -16,18 +16,13 @@ reference's [N, 4] when numpy output is wanted.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unsupervised_pseuso_lidar_tpu.geometry.calibration import (
-    Calibration,
-    inverse_rigid_transform,
-    read_calib_file,
-    transform_from_rot_trans,
-)
+from unsupervised_pseuso_lidar_tpu.geometry.calibration import Calibration
 
 
 @partial(jax.jit, static_argnames=("sparsity", "max_high"))

@@ -15,8 +15,6 @@ min, the physically correct z-buffer; documented deviation).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -315,14 +315,6 @@ def _get_path(tree: Any, path: str) -> Any:
     return node
 
 
-def _set_path(tree: Dict, path: str, leaf_updates: Dict[str, np.ndarray]) -> None:
-    parts = path.split("/")
-    node = tree
-    for part in parts:
-        node = node.setdefault(part, {}) if part not in node else node[part]
-    node.update(leaf_updates)
-
-
 def import_torch_state(
     flax_params: Any,
     flax_batch_stats: Any,

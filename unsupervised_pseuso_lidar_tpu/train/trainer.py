@@ -21,7 +21,6 @@ XLA way:
 from __future__ import annotations
 
 import os
-import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -35,8 +34,6 @@ from flax.core import FrozenDict
 from unsupervised_pseuso_lidar_tpu.losses.total import total_loss
 from unsupervised_pseuso_lidar_tpu.models import build_model
 from unsupervised_pseuso_lidar_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
     replicated_sharding,
     shard_batch,
     shard_train_state,

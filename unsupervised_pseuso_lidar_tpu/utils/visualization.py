@@ -9,7 +9,7 @@ trainer or notebooks.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 
