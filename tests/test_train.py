@@ -271,3 +271,64 @@ def test_distributed_initialize_noop_without_env(monkeypatch):
 
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert initialize() is False
+
+
+class TestAugmentation:
+    def test_color_jitter_is_triplet_consistent(self):
+        from unsupervised_pseuso_lidar_tpu.data.augment import color_jitter
+
+        rng = jax.random.PRNGKey(0)
+        tgt = jnp.ones((3, 8, 8, 3))
+        refs = jnp.ones((3, 2, 8, 8, 3))
+        tgt2, refs2 = color_jitter(rng, tgt, refs)
+        # same affine transform across tgt/ref0/ref1 of each sample
+        np.testing.assert_allclose(
+            np.asarray(tgt2), np.asarray(refs2[:, 0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(refs2[:, 0]), np.asarray(refs2[:, 1]), atol=1e-6
+        )
+        # but different across samples
+        assert not np.allclose(np.asarray(tgt2[0]), np.asarray(tgt2[1]))
+
+    def test_hflip_mirrors_cx(self):
+        from unsupervised_pseuso_lidar_tpu.data.augment import horizontal_flip
+
+        rng = jax.random.PRNGKey(1)
+        batch, width = 8, 16
+        tgt = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (batch, 8, width, 3)),
+            dtype=jnp.float32,
+        )
+        refs = jnp.stack([tgt, tgt], axis=1)
+        k = jnp.broadcast_to(
+            jnp.asarray([[100.0, 0, 5.0], [0, 100.0, 4.0], [0, 0, 1]]),
+            (batch, 3, 3),
+        )
+        tgt2, refs2, k2 = horizontal_flip(rng, tgt, refs, k, prob=1.0)
+        np.testing.assert_allclose(
+            np.asarray(tgt2), np.asarray(tgt[:, :, ::-1, :]), atol=1e-7
+        )
+        np.testing.assert_allclose(np.asarray(k2[:, 0, 2]), width - 1 - 5.0)
+        np.testing.assert_allclose(np.asarray(k2[:, 1, 2]), 4.0)
+
+    def test_train_step_with_augmentation_and_uint8(self):
+        config = _small_config()
+        config.datasets.augmentation.color_jitter = True
+        config.datasets.augmentation.hflip = True
+        state, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        step = make_train_step(dm, pm, tx, color_jitter=True, hflip=True)
+        raw = synthetic_triplet_batch(2, 64, 96, seed=0)
+        batch = {
+            "tgt": jnp.asarray((raw["tgt"] * 255).astype(np.uint8)),
+            "ref_imgs": jnp.asarray((raw["ref_imgs"] * 255).astype(np.uint8)),
+            "intrinsics": jnp.asarray(raw["intrinsics"]),
+            "oxts": jnp.asarray(raw["oxts"]),
+        }
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        # augmentation varies per step (rng keyed on state.step)
+        assert len({round(l, 6) for l in losses}) > 1

@@ -35,6 +35,8 @@ class AugmentationConfig:
     image_width: int = 640
     image_height: int = 192
     shuffle: bool = True
+    color_jitter: bool = False
+    hflip: bool = False
 
 
 @dataclass
@@ -119,6 +121,8 @@ class Config:
                 image_width=int(aug_raw.get("image_width", 640)),
                 image_height=int(aug_raw.get("image_height", 192)),
                 shuffle=bool(aug_raw.get("shuffle", True)),
+                color_jitter=bool(aug_raw.get("color_jitter", False)),
+                hflip=bool(aug_raw.get("hflip", False)),
             ),
             sequence_length=int(ds_raw.get("sequence_length", 3)),
             dataset=list(ds_raw.get("dataset", ["KITTI"])),

@@ -188,6 +188,24 @@ def forward_batch(
     return disps_tgt, disps_ref0, poses, new_stats
 
 
+def normalize_uint8_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """uint8 image batch -> ImageNet-normalized float32 (on device)."""
+    if batch["tgt"].dtype != jnp.uint8:
+        return batch
+    from unsupervised_pseuso_lidar_tpu.utils.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def norm(x):
+        return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+    return dict(batch, tgt=norm(batch["tgt"]), ref_imgs=norm(batch["ref_imgs"]))
+
+
 def make_train_step(
     depth_model,
     pose_model,
@@ -198,6 +216,9 @@ def make_train_step(
     smooth_on: str = "depth",
     accum_steps: int = 1,
     remat: bool = False,
+    color_jitter: bool = False,
+    hflip: bool = False,
+    aug_seed: int = 0,
     mesh=None,
     donate: bool = True,
 ) -> Callable:
@@ -217,7 +238,14 @@ def make_train_step(
         enabling larger per-chip batches at high resolutions.
     """
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, step_idx):
+        batch = normalize_uint8_batch(batch)
+        if color_jitter or hflip:
+            from unsupervised_pseuso_lidar_tpu.data.augment import augment_batch
+
+            batch = augment_batch(
+                step_idx, batch, jitter=color_jitter, flip=hflip, seed=aug_seed
+            )
         disps_tgt, disps_ref0, poses, new_stats = forward_batch(
             depth_model, pose_model, params, batch_stats, batch,
             train=True, semi_sup_pose=semi_sup_pose,
@@ -247,7 +275,9 @@ def make_train_step(
     maybe_remat_loss = jax.checkpoint(loss_fn) if remat else loss_fn
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        grad_fn = jax.value_and_grad(maybe_remat_loss, has_aux=True)
+        grad_fn = jax.value_and_grad(
+            maybe_remat_loss, has_aux=True, argnums=0
+        )
         if accum_steps > 1:
             micro = jax.tree.map(
                 lambda x: x.reshape(accum_steps, -1, *x.shape[1:]), batch
@@ -256,7 +286,7 @@ def make_train_step(
             def scan_body(carry, micro_batch):
                 grad_sum, loss_sum, reproj_sum, smooth_sum, stats = carry
                 (loss, (reproj, smooth, new_stats)), grads = grad_fn(
-                    state.params, stats, micro_batch
+                    state.params, stats, micro_batch, state.step
                 )
                 carry = (
                     jax.tree.map(jnp.add, grad_sum, grads),
@@ -278,7 +308,7 @@ def make_train_step(
             loss, reproj, smooth = loss * scale, reproj * scale, smooth * scale
         else:
             (loss, (reproj, smooth, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch
+                state.params, state.batch_stats, batch, state.step
             )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -390,6 +420,9 @@ class Trainer:
             smooth_on=config.action.smooth_on,
             accum_steps=config.action.accum_steps,
             remat=config.action.remat,
+            color_jitter=config.datasets.augmentation.color_jitter,
+            hflip=config.datasets.augmentation.hflip,
+            aug_seed=config.action.random_seed,
             mesh=mesh,
         )
         self.eval_step = make_eval_step(
