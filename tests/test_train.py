@@ -332,3 +332,31 @@ class TestAugmentation:
         assert np.isfinite(losses).all()
         # augmentation varies per step (rng keyed on state.step)
         assert len({round(l, 6) for l in losses}) > 1
+
+
+class TestLossModesAndKwargs:
+    def test_min_mode_trains(self):
+        config = _small_config()
+        state, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        step = make_train_step(dm, pm, tx, loss_mode="min")
+        batch = synthetic_triplet_batch(2, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_model_kwargs_from_yaml(self):
+        # extra model.depth keys flow into the constructor (all_scales)
+        config = _small_config(
+            model={
+                "name": "kw",
+                "depth": {"name": "DispResNet", "all_scales": True},
+                "pose": {"name": "PoseNet"},
+            }
+        )
+        assert config.model.depth.kwargs == {"all_scales": True}
+        state, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        step = make_train_step(dm, pm, tx)
+        batch = synthetic_triplet_batch(2, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+        state, metrics = step(state, batch)  # 4-scale loss pyramid
+        assert np.isfinite(float(metrics["loss"]))

@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on the synthetic scene (no KITTI needed)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the first "
+                        "epoch into DIR")
     args = parser.parse_args(argv)
 
     import jax
@@ -44,6 +47,12 @@ def main(argv=None):
 
     logger = MetricLogger(config)
 
+    import contextlib
+
+    from unsupervised_pseuso_lidar_tpu.utils.profiling import trace
+
+    profile_ctx = trace(args.profile) if args.profile else contextlib.nullcontext()
+
     if args.synthetic:
         from unsupervised_pseuso_lidar_tpu.data.synthetic import (
             SyntheticTripletDataset,
@@ -52,14 +61,15 @@ def main(argv=None):
         height, width = config.image_shape
         dataset = SyntheticTripletDataset(
             num_batches=50, batch_size=config.action.batch_size,
-            height=height, width=width,
+            height=height, width=width, uint8_images=True,
         )
         trainer = Trainer(config, dataset=dataset, mesh=mesh, log_fn=logger)
-        trainer.fit(
-            make_train_iter=lambda epoch: prefetch_to_device(
-                dataset.batches(epoch), device_put=device_put
-            ),
-        )
+        with profile_ctx:
+            trainer.fit(
+                make_train_iter=lambda epoch: prefetch_to_device(
+                    dataset.batches(epoch), device_put=device_put
+                ),
+            )
         return trainer
 
     from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
@@ -74,13 +84,14 @@ def main(argv=None):
 
     batch_size = config.action.batch_size
     workers = config.action.num_workers
-    trainer.fit(
-        make_train_iter=lambda epoch: prefetch_to_device(
-            dataset.batches(train_idx, batch_size, workers),
-            device_put=device_put,
-        ),
-        make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
-    )
+    with profile_ctx:
+        trainer.fit(
+            make_train_iter=lambda epoch: prefetch_to_device(
+                dataset.batches(train_idx, batch_size, workers),
+                device_put=device_put,
+            ),
+            make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
+        )
     return trainer
 
 

@@ -48,7 +48,21 @@ def total_loss(
         (the monodepth2-standard, well-conditioned choice).
     """
     depths = [[disp_to_depth(d) for d in frame] for frame in disparities]
-    loss_reproj = reprojection_loss(tgt, refs, depths, poses, intrinsics, mode=mode)
+    if mode == "min":
+        # monodepth2-style per-pixel minimum over refs with SSIM blend and
+        # automasking (the reference's latent objective, losses.py:156-167,
+        # made selectable; 'mean' is its active default behavior).
+        from unsupervised_pseuso_lidar_tpu.losses.reprojection import (
+            min_reprojection_loss,
+        )
+
+        loss_reproj = min_reprojection_loss(
+            tgt, refs, depths[0], poses, intrinsics
+        )
+    else:
+        loss_reproj = reprojection_loss(
+            tgt, refs, depths, poses, intrinsics, mode=mode
+        )
     if smooth_on == "depth":
         loss_smooth = smooth_loss(depths[0], decay=smooth_decay)
     elif smooth_on == "disp":
