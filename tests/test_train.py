@@ -360,3 +360,35 @@ class TestLossModesAndKwargs:
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
         state, metrics = step(state, batch)  # 4-scale loss pyramid
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestMultiStep:
+    def test_multi_step_matches_sequential(self):
+        from unsupervised_pseuso_lidar_tpu.train.trainer import make_multi_step
+
+        config = _small_config()
+        raws = [synthetic_triplet_batch(2, 64, 96, seed=i) for i in range(2)]
+        single_batches = [
+            {k: jnp.asarray(v) for k, v in r.items() if k != "groundtruth"}
+            for r in raws
+        ]
+        stacked = {
+            k: jnp.stack([b[k] for b in single_batches])
+            for k in single_batches[0]
+        }
+
+        s1, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        step = make_train_step(dm, pm, tx, donate=False)
+        for b in single_batches:
+            s1, m1 = step(s1, b)
+
+        s2, dm2, pm2, tx2 = create_train_state(config, jax.random.PRNGKey(0), 10)
+        multi = make_multi_step(dm2, pm2, tx2, num_steps=2)
+        s2, m2 = multi(s2, stacked)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+        assert int(s1.step) == int(s2.step) == 2
+        # scan vs sequential compile to slightly different fusions; params
+        # agree to float32 tolerance
+        for l1, l2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(l1, l2, atol=5e-5)

@@ -341,6 +341,41 @@ def make_train_step(
     )
 
 
+def make_multi_step(
+    depth_model,
+    pose_model,
+    tx: optax.GradientTransformation,
+    num_steps: int,
+    **step_kwargs,
+) -> Callable:
+    """Run `num_steps` FULL optimizer steps inside ONE jitted program.
+
+    multi(state, batches) with batches leading dim = num_steps scans the
+    train step — one device launch (and one host round trip) per
+    num_steps updates instead of per update. On launch-latency-bound
+    links (the dev tunnel's ~1.4 ms floor) this multiplies throughput by
+    ~num_steps; on real hosts it removes per-step dispatch overhead.
+    Returns (state, metrics) where metrics are the LAST step's values
+    (matching what a per-step logger would report).
+    """
+    step = make_train_step(
+        depth_model, pose_model, tx, mesh=None, donate=False, **step_kwargs
+    )
+    # reuse the un-jitted body: build our own scan over the inner step
+    inner = step.__wrapped__ if hasattr(step, "__wrapped__") else None
+
+    def multi(state: TrainState, batches):
+        def body(carry, batch):
+            new_state, metrics = (inner or step)(carry, batch)
+            return new_state, metrics
+
+        state, metrics_seq = jax.lax.scan(body, state, batches)
+        metrics = jax.tree.map(lambda m: m[-1], metrics_seq)
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
                    semi_sup_pose=False) -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
