@@ -205,3 +205,50 @@ class TestStreamingPipeline:
         assert results[0].depth.shape == (16, 32)
         assert results[0].points.shape[1] == 4
         assert results[0].points.shape[0] > 0
+
+
+class TestVeloGT:
+    def test_depth_gt_from_velo(self, tmp_path):
+        # synthetic forward-facing scan -> sparse GT depth image
+        from unsupervised_pseuso_lidar_tpu.data.velo_gt import (
+            depth_gt_from_velo,
+            velo_path_for_image,
+        )
+        from unsupervised_pseuso_lidar_tpu.geometry.calibration import Calibration
+
+        k = "100 0 64 0 100 32 0 0 1"
+        p = "100 0 64 0 0 100 32 0 0 0 1 0"
+        r = "1 0 0 0 1 0 0 0 1"
+        (tmp_path / "calib_cam_to_cam.txt").write_text(
+            f"K_02: {k}\nP_rect_02: {p}\nR_rect_02: {r}\n"
+        )
+        (tmp_path / "calib_velo_to_cam.txt").write_text(
+            "R: 0 -1 0 0 0 -1 1 0 0\nT: 0 0 0\n"
+        )
+        (tmp_path / "calib_imu_to_velo.txt").write_text(
+            "R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n"
+        )
+        calib = Calibration(str(tmp_path))
+
+        rng = np.random.default_rng(0)
+        n = 400
+        scan = np.zeros((n, 4), dtype=np.float32)
+        scan[:, 0] = rng.uniform(5, 40, n)      # forward
+        scan[:, 1] = rng.uniform(-3, 3, n)      # left
+        scan[:, 2] = rng.uniform(-1.5, 0.5, n)  # up
+        velo_file = tmp_path / "scan.bin"
+        scan.tofile(velo_file)
+
+        gt = depth_gt_from_velo(str(velo_file), calib, width=128, height=64)
+        assert gt.shape == (64, 128)
+        assert (gt > 0).sum() > 50          # sparse but populated
+        valid = gt[gt > 0]
+        assert valid.min() >= 4.0 and valid.max() <= 41.0
+
+    def test_velo_path_mapping(self):
+        from unsupervised_pseuso_lidar_tpu.data.velo_gt import velo_path_for_image
+
+        path = "/k/2011_09_26/d_sync/image_02/data/0000000005.png"
+        assert velo_path_for_image(path) == (
+            "/k/2011_09_26/d_sync/velodyne_points/data/0000000005.bin"
+        )
