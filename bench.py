@@ -4,6 +4,11 @@ Measures the fused depth+pose+warp TRAIN step (BASELINE.json config #4:
 batch 12, DispResNet + PoseNet, multi-scale reprojection + smoothness,
 640x192) in frames/sec on the default JAX device, and prints ONE JSON line:
 
+The step runs through the multi-step scan driver (unroll optimizer steps
+inside one device program, train/trainer.make_multi_step) over DISTINCT
+pre-staged batches — the framework's production calling convention; each
+scanned step is a complete fwd+bwd+Adam update.
+
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
 vs_baseline is the ratio against the measured PyTorch-CPU baseline stored
@@ -31,12 +36,17 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=12)
     parser.add_argument("--height", type=int, default=192)
     parser.add_argument("--width", type=int, default=640)
-    parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--steps", type=int, default=30,
+                        help="outer launches to time")
+    parser.add_argument("--unroll", type=int, default=8,
+                        help="optimizer steps per device launch (lax.scan)")
+    parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 model compute (fp32 params/loss)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
+    args.steps = max(1, args.steps)
+    args.unroll = max(1, args.unroll)
 
     # Persistent compile cache: first bench run on a fresh chip pays the
     # ~20-40s compile once; later runs start hot.
@@ -49,6 +59,7 @@ def main(argv=None):
     from unsupervised_pseuso_lidar_tpu.train.config import Config
     from unsupervised_pseuso_lidar_tpu.train.trainer import (
         create_train_state,
+        make_multi_step,
         make_train_step,
     )
 
@@ -78,14 +89,24 @@ def main(argv=None):
     state, depth_model, pose_model, tx = create_train_state(
         config, jax.random.PRNGKey(0), steps_per_epoch=1000, dtype=dtype
     )
-    step = make_train_step(depth_model, pose_model, tx)
-
-    raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
-    batch = {
-        k: jax.device_put(jnp.asarray(v))
-        for k, v in raw.items()
-        if k != "groundtruth"
-    }
+    if args.unroll > 1:
+        step = make_multi_step(depth_model, pose_model, tx, args.unroll)
+        raws = [
+            synthetic_triplet_batch(args.batch, args.height, args.width, seed=i)
+            for i in range(args.unroll)
+        ]
+        batch = {
+            k: jax.device_put(jnp.stack([jnp.asarray(r[k]) for r in raws]))
+            for k in ("tgt", "ref_imgs", "intrinsics", "oxts")
+        }
+    else:
+        step = make_train_step(depth_model, pose_model, tx)
+        raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
+        batch = {
+            k: jax.device_put(jnp.asarray(v))
+            for k, v in raw.items()
+            if k != "groundtruth"
+        }
 
     for _ in range(args.warmup):
         state, metrics = step(state, batch)
@@ -97,7 +118,7 @@ def main(argv=None):
     # block on the whole state: blocking only on the loss scalar lets XLA
     # stream the param-update tail of the program past the timer
     jax.block_until_ready((state, metrics))
-    dt = (time.perf_counter() - t0) / args.steps
+    dt = (time.perf_counter() - t0) / (args.steps * args.unroll)
     fps = args.batch / dt
 
     baseline_path = os.path.join(
