@@ -108,16 +108,19 @@ def main(argv=None):
             if k != "groundtruth"
         }
 
+    from unsupervised_pseuso_lidar_tpu.utils.profiling import hard_sync
+
     for _ in range(args.warmup):
         state, metrics = step(state, batch)
-    jax.block_until_ready((state, metrics))
+    hard_sync((state, metrics))
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch)
-    # block on the whole state: blocking only on the loss scalar lets XLA
-    # stream the param-update tail of the program past the timer
-    jax.block_until_ready((state, metrics))
+    # hard_sync, not block_until_ready: on the tunneled backend the latter
+    # returns before the device finishes; only a host value readback
+    # data-dependent on the final state is a true completion barrier.
+    hard_sync((state, metrics))
     dt = (time.perf_counter() - t0) / (args.steps * args.unroll)
     fps = args.batch / dt
 

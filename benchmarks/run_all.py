@@ -26,13 +26,17 @@ import numpy as np
 
 
 def timeit(fn, steps, warmup=3):
+    # hard_sync, not block_until_ready: on the tunneled backend the latter
+    # returns before the device executes (see utils/profiling.hard_sync).
+    from unsupervised_pseuso_lidar_tpu.utils.profiling import hard_sync
+
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    hard_sync(out)
     t0 = time.perf_counter()
     for _ in range(steps):
         out = fn()
-    jax.block_until_ready(out)
+    hard_sync(out)
     return (time.perf_counter() - t0) / steps
 
 
@@ -170,7 +174,9 @@ def main():
     for b in prefetch_to_device(iter(host_batches), size=2):
         s, m = step(s, b)
         n += 12
-    jax.block_until_ready((s, m))
+    from unsupervised_pseuso_lidar_tpu.utils.profiling import hard_sync
+
+    hard_sync((s, m))
     dt = (time.perf_counter() - t0)
     report["streaming_epoch_fps"] = round(n / dt, 2)
     report["streaming_epoch_frames"] = n
