@@ -201,6 +201,107 @@ class TestGridSample:
         np.testing.assert_allclose(np.asarray(ours2), theirs, atol=1e-6)
 
 
+class TestGridSampleMxu:
+    """grid_sample_mxu (band-matmul warp) vs the exact gather sampler."""
+
+    def _smooth_grid(self, batch, height, width, y_amp=0.05, x_amp=0.3):
+        xs = np.linspace(-1, 1, width)
+        ys = np.linspace(-1, 1, height)
+        grid = np.stack(np.meshgrid(xs, ys), axis=-1)[None]
+        flow = np.stack(
+            [
+                RNG.uniform(-x_amp, x_amp, (batch, height, width)),
+                RNG.uniform(-y_amp, y_amp, (batch, height, width)),
+            ],
+            axis=-1,
+        )
+        return jnp.asarray(grid + flow, dtype=jnp.float32)
+
+    def test_matches_gather_fp32(self):
+        batch, height, width, chans = 2, 16, 24, 3
+        img = jnp.asarray(
+            RNG.uniform(0, 1, (batch, height, width, chans)), jnp.float32
+        )
+        grid = self._smooth_grid(batch, height, width)
+        ref = resample.grid_sample(img, grid)
+        got = resample.grid_sample_mxu(img, grid, dot_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_matches_gather_bf16_on_8bit_values(self):
+        batch, height, width = 2, 16, 24
+        img = jnp.asarray(
+            RNG.integers(0, 256, (batch, height, width, 3)), jnp.float32
+        )
+        grid = self._smooth_grid(batch, height, width)
+        ref = resample.grid_sample(img, grid)
+        got = resample.grid_sample_mxu(img, grid)
+        # bf16 interpolation weights: <=0.4% of the 0..255 value range
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1.0)
+
+    def test_out_of_bounds_is_zero(self):
+        img = jnp.ones((1, 16, 16, 1))
+        grid = jnp.full((1, 16, 16, 2), -3.0)
+        out = resample.grid_sample_mxu(img, grid, dot_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_non_multiple_height(self):
+        batch, height, width = 1, 13, 24
+        img = jnp.asarray(
+            RNG.uniform(0, 1, (batch, height, width, 3)), jnp.float32
+        )
+        grid = self._smooth_grid(batch, height, width)
+        ref = resample.grid_sample(img, grid)
+        got = resample.grid_sample_mxu(img, grid, dot_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_gradients_match_gather(self):
+        batch, height, width = 1, 16, 24
+        img = jnp.asarray(
+            RNG.uniform(0, 1, (batch, height, width, 3)), jnp.float32
+        )
+        # keep sample points away from integer crossings where the bilinear
+        # subgradient is ambiguous between implementations
+        grid = self._smooth_grid(batch, height, width, y_amp=0.03, x_amp=0.1)
+
+        def loss(fn, g):
+            return jnp.mean(jnp.abs(fn(img, g) - 0.5))
+
+        g_ref = jax.grad(
+            lambda g: loss(lambda i, gg: resample.grid_sample(i, gg), g)
+        )(grid)
+        g_mxu = jax.grad(
+            lambda g: loss(
+                lambda i, gg: resample.grid_sample_mxu(
+                    i, gg, dot_dtype=jnp.float32
+                ),
+                g,
+            )
+        )(grid)
+        np.testing.assert_allclose(
+            np.asarray(g_mxu), np.asarray(g_ref), atol=1e-4
+        )
+
+    def test_band_coverage(self):
+        height, width = 16, 24
+        xs = jnp.linspace(-1, 1, width)
+        ys = jnp.linspace(-1, 1, height)
+        grid = jnp.broadcast_to(
+            jnp.stack(jnp.meshgrid(xs, ys), axis=-1), (1, height, width, 2)
+        )
+        assert float(resample.band_coverage(grid, band_pad=12)) == 1.0
+        # a UNIFORM shift of any size is absorbed by the adaptive center
+        shifted = grid.at[..., 1].add(9.0 * 2.0 / (height - 1))
+        assert float(resample.band_coverage(shifted, band_pad=2)) == 1.0
+        # but within-block SPREAD must fit: rows alternate +-1.5 px
+        # (block mean 0) -> inside a pad-3 band, outside a pad-2 band
+        signs = jnp.where(jnp.arange(height) % 2 == 0, 1.5, -1.5)
+        spread = grid.at[..., 1].add(
+            signs[None, :, None] * 2.0 / (height - 1)
+        )
+        assert float(resample.band_coverage(spread, band_pad=3)) == 1.0
+        assert float(resample.band_coverage(spread, band_pad=2)) < 1.0
+
+
 class TestInverseWarp:
     def test_identity_pose_identity_warp(self):
         batch, height, width = 1, 32, 48

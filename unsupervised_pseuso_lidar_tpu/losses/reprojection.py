@@ -48,6 +48,7 @@ def reprojection_loss(
     poses: jax.Array,
     intrinsics: jax.Array,
     mode: str = "mean",
+    warp_impl: str = "gather",
 ) -> jax.Array:
     """Bidirectional multi-scale reprojection loss.
 
@@ -63,6 +64,8 @@ def reprojection_loss(
       mode: 'mean' (the reference's active 'min' branch, which reduces the
         two forward pairs by mean — losses.py:227), 'l1', 'mse', or 'ssim'
         (the latent SSIM-blend path, losses.py:76-77 made functional).
+      warp_impl: 'gather' (exact) or 'mxu' (band-matmul warp on the
+        systolic array, ~6x faster — geometry.warp.inverse_warp_from_matrix).
     Returns:
       scalar loss.
 
@@ -118,7 +121,9 @@ def reprojection_loss(
         intrinsics = intrinsics[None]
     k_tiled = jnp.tile(intrinsics, (jobs, 1, 1))
 
-    warped = inverse_warp_from_matrix(src, depth, transform, k_tiled)
+    warped = inverse_warp_from_matrix(
+        src, depth, transform, k_tiled, impl=warp_impl
+    )
 
     if mode in ("mean", "l1"):
         err = jnp.abs(warped - target)
@@ -141,6 +146,7 @@ def min_reprojection_loss(
     intrinsics: jax.Array,
     automask: bool = True,
     no_ssim: bool = False,
+    warp_impl: str = "gather",
 ) -> jax.Array:
     """monodepth2-style per-pixel-min reprojection with binary automasking.
 
@@ -164,7 +170,8 @@ def min_reprojection_loss(
     for scale_depth in depths:
         depth_full = _full_res_depth(scale_depth, height, width)
         warped = inverse_warp_from_matrix(
-            src, jnp.tile(depth_full, (2, 1, 1)), transform, k_tiled
+            src, jnp.tile(depth_full, (2, 1, 1)), transform, k_tiled,
+            impl=warp_impl,
         )
         err = photometric_loss(
             warped,

@@ -28,6 +28,7 @@ def total_loss(
     smooth_decay: float = 2.3,
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
+    warp_impl: str = "gather",
 ) -> Tuple[jax.Array, jax.Array]:
     """Compute (reprojection_loss, smoothness_loss).
 
@@ -57,11 +58,12 @@ def total_loss(
         )
 
         loss_reproj = min_reprojection_loss(
-            tgt, refs, depths[0], poses, intrinsics
+            tgt, refs, depths[0], poses, intrinsics, warp_impl=warp_impl
         )
     else:
         loss_reproj = reprojection_loss(
-            tgt, refs, depths, poses, intrinsics, mode=mode
+            tgt, refs, depths, poses, intrinsics, mode=mode,
+            warp_impl=warp_impl,
         )
     if smooth_on == "depth":
         loss_smooth = smooth_loss(depths[0], decay=smooth_decay)
@@ -81,6 +83,7 @@ class Losses:
     smooth_decay: float = 2.3
     smooth_weight: float = 1.0
     smooth_on: str = "depth"
+    warp_impl: str = "gather"
 
     def forward(self, tgt, refs, disparities, poses, intrinsics, gt=None):
         return total_loss(
@@ -93,6 +96,7 @@ class Losses:
             smooth_decay=self.smooth_decay,
             smooth_weight=self.smooth_weight,
             smooth_on=self.smooth_on,
+            warp_impl=self.warp_impl,
         )
 
     __call__ = forward

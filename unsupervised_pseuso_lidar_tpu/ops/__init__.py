@@ -1,5 +1,7 @@
 from unsupervised_pseuso_lidar_tpu.ops.resample import (
+    band_coverage,
     grid_sample,
+    grid_sample_mxu,
     resize_bilinear,
     resize_nearest,
     upsample2x_nearest,
@@ -10,7 +12,9 @@ from unsupervised_pseuso_lidar_tpu.ops.ssim import (
 )
 
 __all__ = [
+    "band_coverage",
     "grid_sample",
+    "grid_sample_mxu",
     "resize_bilinear",
     "resize_nearest",
     "upsample2x_nearest",

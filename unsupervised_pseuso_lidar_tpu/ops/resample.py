@@ -126,6 +126,190 @@ def grid_sample(
     return _bilinear(img, x, y, zero_pad=zero_pad)
 
 
+def grid_sample_mxu(
+    img: jax.Array,
+    grid: jax.Array,
+    band_pad: int = 12,
+    rows_per_block: int = 8,
+    dot_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Bilinear grid_sample computed on the MXU (band-limited one-hot matmul).
+
+    XLA's gather runs on the scalar/vector units at ~1 tap/cycle, which makes
+    the photometric warp the dominant cost of a train step (measured: one
+    [12,192,640,3] warp = 46 ms on v5e, ~75% of the whole step). This variant
+    rides the systolic array instead, exploiting the structure of SfM warps:
+    the *vertical* displacement |y'(i,j) - i| is small (pose-net rotations are
+    bounded by construction — /root/reference/models/pose/pose_net.py:76
+    scales outputs by 0.06), so for each block of R output rows every needed
+    source row lives in a static band of K = R + 2*band_pad rows. Then:
+
+      * x-interpolation: ONE bf16 matmul per block between a 2-sparse
+        interpolation matrix (built algebraically from `iota == floor(x)`
+        comparisons, so autodiff yields the exact bilinear VJP) and the band.
+      * y-interpolation: masked reduction over the K band rows.
+
+    Measured on v5e (3 warps of [12,192,640,3]): 26 ms forward / 39 ms
+    forward+grad-wrt-grid vs 164 ms / 164 ms for the gather path — 6.2x/4.2x.
+
+    The band is FLOW-ADAPTIVE: each block's band is centered at the block's
+    mean vertical displacement (computed over in-image sample points,
+    gradient-stopped), so a global vertical shift of any magnitude — e.g.
+    the large flows of early training, when depth is still tiny everywhere —
+    stays in band; only the displacement SPREAD within a block must fit.
+
+    Exactness: identical to `grid_sample(..., align_corners=True,
+    padding_mode='zeros')` up to bf16 rounding of the interpolation weights
+    and source values (exact for 8-bit-valued images and weights with <=8
+    significant bits; pass dot_dtype=jnp.float32 for full fp32) PROVIDED all
+    sample points satisfy |dy(i,j) - mean_block(dy)| <= band_pad - 1 where
+    dy = y'(i,j) - i. Out-of-band taps contribute zero, exactly like
+    out-of-image taps. Use `band_coverage` to monitor the in-band fraction;
+    widen band_pad if it drops below 1.0.
+
+    Args:
+      img: [B, H, W, C] source.
+      grid: [B, H, W, 2] normalized (x, y) in [-1, 1]; output resolution must
+        equal the source resolution (the warp use case).
+      band_pad: vertical half-band P in pixels.
+      rows_per_block: output rows R per matmul block.
+      dot_dtype: matmul element type (bf16 = full MXU rate).
+    Returns:
+      [B, H, W, C] warped image.
+    """
+    batch, height, width, channels = img.shape
+    rows, pad = rows_per_block, band_pad
+    band = rows + 2 * pad
+
+    out_h = height
+    pad_h = (-out_h) % rows
+    if pad_h:
+        # out-of-range y -> every tap lands outside the image -> zeros;
+        # sliced off at the end.
+        grid = jnp.pad(
+            grid, ((0, 0), (0, pad_h), (0, 0), (0, 0)), constant_values=-3.0
+        )
+    num_blocks = (out_h + pad_h) // rows
+
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    x = (gx + 1.0) * 0.5 * (width - 1)
+    y = (gy + 1.0) * 0.5 * (height - 1)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx1 = x - x0f
+    wy1 = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # P zero rows top/bottom: out-of-image y taps read zeros (zeros padding).
+    img_padded = jnp.pad(img, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    padded_h = height + 2 * pad
+    max_start = max(padded_h - band, 0)
+
+    # Flow-adaptive band centers: per (batch, block) mean vertical
+    # displacement over in-image sample points. Pure index selection — no
+    # gradient flows through it.
+    centers = _block_flow_centers(y, height, rows, num_blocks)  # [B,T] int32
+    block_starts = jnp.clip(
+        jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
+    )  # [B, T]
+
+    iota_w = jnp.arange(width, dtype=jnp.int32)
+    iota_k = jnp.arange(band, dtype=jnp.int32)[None, None, None, :]
+
+    def block(t):
+        rsl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * rows, rows, axis=1)
+        start = jax.lax.dynamic_index_in_dim(
+            block_starts, t, axis=1, keepdims=False
+        )  # [B]
+        band_t = jax.vmap(
+            lambda im, s: jax.lax.dynamic_slice_in_dim(im, s, band, axis=0)
+        )(img_padded, start)  # [B, K, W, C]
+        band_t = (
+            band_t.transpose(0, 2, 1, 3)
+            .reshape(batch, width, band * channels)
+            .astype(dot_dtype)
+        )
+        x0_t = rsl(x0).reshape(batch, rows * width)
+        wx1_t = rsl(wx1).reshape(batch, rows * width).astype(jnp.float32)
+        # 2-sparse interpolation matrix; out-of-image x matches no column -> 0
+        ind0 = iota_w[None, None, :] == x0_t[..., None]
+        ind1 = iota_w[None, None, :] == (x0_t + 1)[..., None]
+        onehot = (
+            ind0 * (1.0 - wx1_t)[..., None] + ind1 * wx1_t[..., None]
+        ).astype(dot_dtype)
+        xint = jax.lax.dot_general(
+            onehot,
+            band_t,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(batch, rows, width, band, channels)
+        # vertical lerp: tap y0 sits at band row k0; out-of-band -> no match
+        k0 = rsl(y0) + pad - start[:, None, None]
+        wy1_t = rsl(wy1).astype(jnp.float32)
+        m0 = (iota_k == k0[..., None]).astype(jnp.float32)
+        m1 = (iota_k == (k0 + 1)[..., None]).astype(jnp.float32)
+        ysel = m0 * (1.0 - wy1_t)[..., None] + m1 * wy1_t[..., None]
+        return jnp.einsum("brwkc,brwk->brwc", xint, ysel)
+
+    blocks = jax.lax.map(jax.checkpoint(block), jnp.arange(num_blocks))
+    out = blocks.transpose(1, 0, 2, 3, 4).reshape(
+        batch, num_blocks * rows, width, channels
+    )
+    return out[:, :out_h].astype(img.dtype)
+
+
+def _block_flow_centers(
+    y: jax.Array, height: int, rows: int, num_blocks: int
+) -> jax.Array:
+    """Mean vertical displacement (rounded int) per (batch, row-block).
+
+    y: [B, num_blocks*rows, W] unnormalized sample rows. Only in-image
+    points count; blocks with none keep center 0.
+    """
+    batch, _, width = y.shape
+    out_rows = jnp.arange(num_blocks * rows, dtype=jnp.float32)[None, :, None]
+    dy = y - out_rows
+    valid = ((y >= -1.0) & (y <= height)).astype(jnp.float32)
+    dy_blocks = (dy * valid).reshape(batch, num_blocks, rows * width)
+    valid_blocks = valid.reshape(batch, num_blocks, rows * width)
+    counts = jnp.sum(valid_blocks, axis=2)
+    mean_dy = jnp.sum(dy_blocks, axis=2) / jnp.maximum(counts, 1.0)
+    centers = jnp.round(jnp.where(counts > 0, mean_dy, 0.0)).astype(jnp.int32)
+    return jax.lax.stop_gradient(centers)
+
+
+def band_coverage(
+    grid: jax.Array, band_pad: int = 12, rows_per_block: int = 8
+) -> jax.Array:
+    """Fraction of in-image sample points that grid_sample_mxu's
+    flow-adaptive band captures (|dy - mean_block(dy)| <= band_pad - 1).
+
+    1.0 means grid_sample_mxu is exact (up to dot rounding) for this grid.
+    """
+    batch, height, width, _ = grid.shape
+    pad_h = (-height) % rows_per_block
+    if pad_h:
+        grid = jnp.pad(
+            grid, ((0, 0), (0, pad_h), (0, 0), (0, 0)), constant_values=-3.0
+        )
+    num_blocks = (height + pad_h) // rows_per_block
+    y = (grid[..., 1] + 1.0) * 0.5 * (height - 1)
+    centers = _block_flow_centers(y, height, rows_per_block, num_blocks)
+    out_rows = jnp.arange(num_blocks * rows_per_block, dtype=jnp.float32)[
+        None, :, None
+    ]
+    dy = y - out_rows
+    center_rows = jnp.repeat(
+        centers.astype(jnp.float32), rows_per_block, axis=1
+    )[..., None]
+    in_image = (y >= -1.0) & (y <= height)
+    in_band = jnp.abs(dy - center_rows) <= (band_pad - 1)
+    ok = jnp.where(in_image, in_band, True)[:, :height]
+    return jnp.mean(ok.astype(jnp.float32))
+
+
 def resize_bilinear(
     img: jax.Array, out_h: int, out_w: int, align_corners: bool = False
 ) -> jax.Array:

@@ -79,6 +79,7 @@ class ActionConfig:
     loss_mode: str = "mean"
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
+    warp_impl: str = "mxu"  # 'mxu' = band-matmul warp (fast); 'gather' = exact
     precision: str = "fp32"  # 'fp32' | 'bf16' (bf16 model compute, fp32 params/loss)
     accum_steps: int = 1
     remat: bool = False
@@ -155,6 +156,7 @@ class Config:
             loss_mode=act_raw.get("loss_mode", "mean"),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
+            warp_impl=act_raw.get("warp_impl", "mxu"),
             precision=act_raw.get("precision", "fp32"),
             accum_steps=int(act_raw.get("accum_steps", 1)),
             remat=bool(act_raw.get("remat", False)),
@@ -178,6 +180,8 @@ class Config:
             raise ValueError("validation split ratio must be in [0, 1]")
         if self.action.precision not in ("fp32", "bf16"):
             raise ValueError("action.precision must be 'fp32' or 'bf16'")
+        if self.action.warp_impl not in ("mxu", "gather"):
+            raise ValueError("action.warp_impl must be 'mxu' or 'gather'")
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

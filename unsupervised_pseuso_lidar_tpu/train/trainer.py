@@ -214,6 +214,7 @@ def make_train_step(
     semi_sup_pose: bool = False,
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
+    warp_impl: str = "mxu",
     accum_steps: int = 1,
     remat: bool = False,
     color_jitter: bool = False,
@@ -268,6 +269,7 @@ def make_train_step(
             mode=loss_mode,
             smooth_weight=smooth_weight,
             smooth_on=smooth_on,
+            warp_impl=warp_impl,
         )
         loss = reproj + smooth
         return loss, (reproj, smooth, new_stats)
@@ -377,7 +379,7 @@ def make_multi_step(
 
 
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
-                   semi_sup_pose=False) -> Callable:
+                   semi_sup_pose=False, warp_impl="mxu") -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
 
     Parity: /root/reference/trainer.py:315-337 (validate) with the broken
@@ -397,6 +399,7 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
             poses,
             batch["intrinsics"],
             mode=loss_mode,
+            warp_impl=warp_impl,
         )
         depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
         metrics = {"loss": reproj + smooth}
@@ -453,6 +456,7 @@ class Trainer:
             semi_sup_pose=config.action.semi_sup_pose,
             smooth_weight=config.action.smooth_weight,
             smooth_on=config.action.smooth_on,
+            warp_impl=config.action.warp_impl,
             accum_steps=config.action.accum_steps,
             remat=config.action.remat,
             color_jitter=config.datasets.augmentation.color_jitter,
@@ -465,6 +469,7 @@ class Trainer:
             self.pose_model,
             loss_mode=config.action.loss_mode,
             semi_sup_pose=config.action.semi_sup_pose,
+            warp_impl=config.action.warp_impl,
         )
 
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
