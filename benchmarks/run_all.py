@@ -116,20 +116,28 @@ def main():
     raw = synthetic_triplet_batch(12, height, width, seed=0)
     batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "groundtruth"}
 
-    @jax.jit
-    def fwd(params, stats, batch):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="warp_impl")
+    def fwd(params, stats, batch, warp_impl="mxu"):
         disps_tgt, disps_ref0, poses, _ = forward_batch(
             depth_model, pose_model, params, stats, batch, train=False,
         )
         r, s = total_loss(
             batch["tgt"], [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
             [disps_tgt, disps_ref0], poses, batch["intrinsics"],
+            warp_impl=warp_impl,
         )
         return r + s
 
     dt = timeit(lambda: fwd(state.params, state.batch_stats, batch), args.steps)
     report["triplet_forward_b12_ms"] = round(dt * 1e3, 3)
     report["triplet_forward_b12_fps"] = round(12.0 / dt, 2)
+    dt = timeit(
+        lambda: fwd(state.params, state.batch_stats, batch, warp_impl="gather"),
+        args.steps,
+    )
+    report["triplet_forward_b12_gather_ms"] = round(dt * 1e3, 3)
 
     # 3. depth -> pseudo-LiDAR cloud (full KITTI frame size)
     proj = jnp.asarray(
@@ -171,7 +179,7 @@ def main():
     s = state
     t0 = time.perf_counter()
     n = 0
-    for b in prefetch_to_device(iter(host_batches), size=2):
+    for b in prefetch_to_device(iter(host_batches), size=3, chunk_bytes=4 << 20):
         s, m = step(s, b)
         n += 12
     from unsupervised_pseuso_lidar_tpu.utils.profiling import hard_sync

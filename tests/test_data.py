@@ -171,6 +171,33 @@ class TestBatching:
         assert len(seen) == 2
         assert seen[0]["tgt"].shape == (2, 24, 32, 3)
 
+    def test_chunked_device_put_matches_plain(self):
+        from unsupervised_pseuso_lidar_tpu.data.pipeline import (
+            chunked_device_put,
+        )
+
+        rng = np.random.default_rng(0)
+        batch = {
+            "big": rng.integers(0, 256, (6, 40, 50, 3)).astype(np.uint8),
+            "small": rng.normal(size=(6, 3, 3)).astype(np.float32),
+            "scalarish": rng.normal(size=(1, 4)).astype(np.float32),
+        }
+        out = chunked_device_put(batch, chunk_bytes=10_000)
+        for k in batch:
+            np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+
+    def test_prefetch_chunked(self):
+        batches = [
+            {"x": np.full((4, 100, 100), i, dtype=np.float32)}
+            for i in range(3)
+        ]
+        seen = list(
+            prefetch_to_device(iter(batches), size=2, chunk_bytes=50_000)
+        )
+        assert len(seen) == 3
+        for i, b in enumerate(seen):
+            np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+
     def test_prefetch_propagates_errors(self):
         def bad_iter():
             yield {"x": np.zeros(2)}

@@ -15,12 +15,36 @@ import threading
 from typing import Any, Callable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chunked_device_put(batch: Any, chunk_bytes: int = 4 << 20) -> Any:
+    """device_put with large leaves split into ~chunk_bytes batch-axis
+    chunks (re-joined by a device-side concatenate).
+
+    Measured on the tunneled v5e: host->device transfer rate DEGRADES with
+    transfer size (4.4 MB moves at ~36 MB/s, 13.3 MB at ~15 MB/s); chunking
+    the image leaves cut the streaming step 623 -> 455 ms. On local-PCIe
+    hosts this is a wash — keep plain jax.device_put there.
+    """
+
+    def put(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.nbytes <= chunk_bytes or leaf.shape[0] < 2:
+            return jax.device_put(leaf)
+        chunks = min(leaf.shape[0], -(-leaf.nbytes // chunk_bytes))
+        parts = np.array_split(leaf, chunks, axis=0)
+        return jnp.concatenate([jax.device_put(p) for p in parts], axis=0)
+
+    return jax.tree.map(put, batch)
 
 
 def prefetch_to_device(
     batch_iter: Iterator[Any],
     size: int = 2,
     device_put: Optional[Callable[[Any], Any]] = None,
+    chunk_bytes: Optional[int] = None,
 ) -> Iterator[Any]:
     """Yield batches from `batch_iter`, staged onto device `size` batches
     ahead by a daemon thread.
@@ -30,9 +54,15 @@ def prefetch_to_device(
       size: queue depth (2 is enough to hide loading behind compute).
       device_put: optional transfer fn (e.g. partial(shard_batch, mesh));
         defaults to jax.device_put.
+      chunk_bytes: if set (and device_put is not), use chunked_device_put
+        with this chunk size — faster on links whose rate degrades with
+        transfer size (the dev tunnel).
     """
     if device_put is None:
-        device_put = jax.device_put
+        if chunk_bytes:
+            device_put = lambda b: chunked_device_put(b, chunk_bytes)
+        else:
+            device_put = jax.device_put
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
