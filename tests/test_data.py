@@ -171,6 +171,21 @@ class TestBatching:
         assert len(seen) == 2
         assert seen[0]["tgt"].shape == (2, 24, 32, 3)
 
+    def test_decoded_image_cache(self, mini_kitti, tmp_path):
+        split_path = str(tmp_path / "split.txt")
+        kitti_depth_annotated_prepare(
+            mini_kitti["kitti"], mini_kitti["depth"], split_path
+        )
+        config = _config(split_path)
+        config.datasets.cache_dir = str(tmp_path / "imgcache")
+        dataset = UnSupKittiDataset(config)
+        first = dataset[0]
+        cached_files = os.listdir(config.datasets.cache_dir)
+        assert len(cached_files) == 3  # tgt + 2 refs decoded once
+        second = dataset[0]  # served from cache
+        np.testing.assert_array_equal(first["tgt"], second["tgt"])
+        np.testing.assert_array_equal(first["ref_imgs"], second["ref_imgs"])
+
     def test_chunked_device_put_matches_plain(self):
         from unsupervised_pseuso_lidar_tpu.data.pipeline import (
             chunked_device_put,

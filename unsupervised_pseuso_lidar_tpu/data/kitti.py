@@ -82,6 +82,9 @@ class UnSupKittiDataset:
         # ship raw uint8 to the device and normalize there (4x less
         # host->device bandwidth; the train/eval steps handle both dtypes)
         self.uint8_images = uint8_images
+        # decoded-uint8 disk cache: PNG decode dominates host time after
+        # epoch 1 otherwise (datasets.cache_dir, '' = off)
+        self.cache_dir = getattr(config.datasets, "cache_dir", "") or ""
         self.samples: List[Sample] = []
         self._calib_cache: Dict[str, Calibration] = {}
         self._init_samples()
@@ -124,7 +127,14 @@ class UnSupKittiDataset:
         sample = self.samples[index]
         size = (self.img_height, self.img_width)
 
-        loader = load_image_uint8 if self.uint8_images else load_image
+        if self.uint8_images and self.cache_dir:
+            from unsupervised_pseuso_lidar_tpu.utils.transforms import (
+                load_image_uint8_cached,
+            )
+
+            loader = lambda p, s: load_image_uint8_cached(p, s, self.cache_dir)
+        else:
+            loader = load_image_uint8 if self.uint8_images else load_image
         tgt, orig_h, orig_w = loader(sample.tgt, size)
         refs = np.stack(
             [loader(p, size)[0] for p in sample.ref_imgs], axis=0
@@ -202,6 +212,7 @@ class UnSupStackedDataset(UnSupKittiDataset):
         self.root = config.datasets.path
         self.split = None
         self.uint8_images = uint8_images
+        self.cache_dir = getattr(config.datasets, "cache_dir", "") or ""
         self.img_width = config.datasets.augmentation.image_width
         self.img_height = config.datasets.augmentation.image_height
         self.seq_len = config.datasets.sequence_length

@@ -46,6 +46,7 @@ class DatasetConfig:
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     sequence_length: int = 3
     dataset: List[str] = field(default_factory=lambda: ["KITTI"])
+    cache_dir: str = ""  # decoded-uint8 image cache ('' = decode every epoch)
 
 
 @dataclass
@@ -127,6 +128,7 @@ class Config:
             ),
             sequence_length=int(ds_raw.get("sequence_length", 3)),
             dataset=list(ds_raw.get("dataset", ["KITTI"])),
+            cache_dir=ds_raw.get("cache_dir", ""),
         )
 
         act_raw = dict(raw.get("action", {}))

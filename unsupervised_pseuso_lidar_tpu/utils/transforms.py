@@ -8,6 +8,8 @@ dataloaders.py:42-47) and utils/transforms.py:1-15 (UnNormalize).
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -81,6 +83,40 @@ def load_image_uint8(
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[..., None]
+    return arr, orig_h, orig_w
+
+
+def load_image_uint8_cached(
+    path: str,
+    size_hw: Optional[Tuple[int, int]],
+    cache_dir: str,
+) -> Tuple[np.ndarray, int, int]:
+    """load_image_uint8 with a decoded-array disk cache.
+
+    PNG decode + bilinear resize costs ~50-100 ms/image on a single host
+    core — with 36 images per batch-12 triplet that is seconds per step of
+    pure host decode, starving the chip (SURVEY.md §7 risk: the reference
+    re-decodes in DataLoader workers every epoch,
+    /root/reference/dataloaders.py:74-120). First touch decodes and writes
+    a .npz of the resized uint8 array (~0.4 MB at 640x192, ~30x smaller
+    than re-decoding work); later epochs read it back in ~1 ms.
+    """
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}|{size_hw}".encode()
+    ).hexdigest()
+    cpath = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(cpath):
+        try:
+            with np.load(cpath) as data:
+                return data["img"], int(data["h"]), int(data["w"])
+        except Exception:  # truncated/corrupt entry: re-decode and heal
+            pass
+    arr, orig_h, orig_w = load_image_uint8(path, size_hw)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = cpath + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:  # atomic publish: decode races write twice,
+        np.savez(f, img=arr, h=orig_h, w=orig_w)  # never read half a file
+    os.replace(tmp, cpath)
     return arr, orig_h, orig_w
 
 
