@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 model compute (fp32 params/loss)")
+    parser.add_argument("--warp", default="pallas",
+                        choices=("pallas", "mxu", "gather"),
+                        help="photometric warp implementation")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     args.steps = max(1, args.steps)
@@ -90,7 +93,9 @@ def main(argv=None):
         config, jax.random.PRNGKey(0), steps_per_epoch=1000, dtype=dtype
     )
     if args.unroll > 1:
-        step = make_multi_step(depth_model, pose_model, tx, args.unroll)
+        step = make_multi_step(
+            depth_model, pose_model, tx, args.unroll, warp_impl=args.warp
+        )
         raws = [
             synthetic_triplet_batch(args.batch, args.height, args.width, seed=i)
             for i in range(args.unroll)
@@ -100,7 +105,9 @@ def main(argv=None):
             for k in ("tgt", "ref_imgs", "intrinsics", "oxts")
         }
     else:
-        step = make_train_step(depth_model, pose_model, tx)
+        step = make_train_step(
+            depth_model, pose_model, tx, warp_impl=args.warp
+        )
         raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
         batch = {
             k: jax.device_put(jnp.asarray(v))

@@ -33,3 +33,126 @@ def test_identical_images_zero():
     x = jnp.asarray(RNG.uniform(0, 1, (1, 8, 8, 2)), dtype=jnp.float32)
     out = ssim_distance_pallas(x, x, interpret=True)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+class TestFusedWarp:
+    """grid_sample_mxu_fused (Pallas) vs the XLA band-matmul warp."""
+
+    def _case(self, batch=2, height=16, width=128):
+        import jax
+
+        img = jnp.asarray(
+            RNG.integers(0, 256, (batch, height, width, 3)), jnp.float32
+        )
+        xs = np.linspace(-1, 1, width)
+        ys = np.linspace(-1, 1, height)
+        base = np.stack(np.meshgrid(xs, ys), axis=-1)[None]
+        flow = np.stack(
+            [RNG.uniform(-0.2, 0.2, (batch, height, width)),
+             RNG.uniform(-0.15, 0.15, (batch, height, width))],
+            axis=-1,
+        )
+        grid = jnp.asarray(base + flow, jnp.float32)
+        return jax, img, grid
+
+    def test_matches_xla_mxu(self):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+
+        jax, img, grid = self._case()
+        ref = grid_sample_mxu(img, grid, band_pad=4)
+        got = grid_sample_mxu_fused(img, grid, 4, 8, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+        )
+
+    def test_grid_gradients_match_xla_mxu(self):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+
+        jax, img, grid = self._case(batch=1)
+
+        def loss(fn, g):
+            return jnp.mean(jnp.abs(fn(img, g) - 100.0))
+
+        g_ref = jax.grad(
+            lambda g: loss(lambda i, gg: grid_sample_mxu(i, gg, band_pad=4), g)
+        )(grid)
+        g_fus = jax.grad(
+            lambda g: loss(
+                lambda i, gg: grid_sample_mxu_fused(i, gg, 4, 8, True), g
+            )
+        )(grid)
+        scale = max(float(jnp.abs(g_ref).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
+        )
+
+    def test_image_gradient_is_zero(self):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+
+        jax, img, grid = self._case(batch=1)
+        g_img = jax.grad(
+            lambda i: jnp.sum(grid_sample_mxu_fused(i, grid, 4, 8, True))
+        )(img)
+        np.testing.assert_allclose(np.asarray(g_img), 0.0)
+
+    def test_warp_impl_pallas_fallback_shapes(self):
+        # W=96 doesn't satisfy the kernel tiling: impl='pallas' must fall
+        # back to the XLA band-matmul and still match it
+        from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+            inverse_warp_from_matrix,
+        )
+
+        jax, img, grid = self._case(width=96)
+        depth = jnp.full(img.shape[:3], 5.0)
+        transform = jnp.broadcast_to(jnp.eye(4), (img.shape[0], 4, 4))
+        k = jnp.asarray(
+            [[100.0, 0, 48.0], [0, 100.0, 8.0], [0, 0, 1.0]], jnp.float32
+        )
+        a = inverse_warp_from_matrix(img, depth, transform, k, impl="pallas")
+        b = inverse_warp_from_matrix(img, depth, transform, k, impl="mxu")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_sharded_step_downgrades_pallas(self):
+        # make_train_step(mesh=...) silently downgrades 'pallas' -> 'mxu'
+        # (pallas_call does not partition under GSPMD); the step must run
+        import jax
+
+        if jax.device_count() < 2:
+            import pytest
+
+            pytest.skip("needs the 8-device CPU mesh")
+        from unsupervised_pseuso_lidar_tpu.data.synthetic import (
+            synthetic_triplet_batch,
+        )
+        from unsupervised_pseuso_lidar_tpu.parallel.mesh import (
+            make_mesh, shard_batch, shard_train_state,
+        )
+        from unsupervised_pseuso_lidar_tpu.train.config import Config
+        from unsupervised_pseuso_lidar_tpu.train.trainer import (
+            create_train_state, make_train_step,
+        )
+
+        config = Config.from_dict({
+            "model": {"name": "pmesh", "depth": {"name": "DispResNet"},
+                      "pose": {"name": "PoseNet"}},
+            "datasets": {"augmentation": {"image_width": 128,
+                                          "image_height": 32}},
+            "action": {"batch_size": 8, "warp_impl": "pallas"},
+        })
+        mesh = make_mesh(jax.device_count())
+        state, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        state = shard_train_state(mesh, state)
+        step = make_train_step(dm, pm, tx, warp_impl="pallas", mesh=mesh)
+        raw = synthetic_triplet_batch(8, 32, 128, seed=0)
+        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in raw.items()
+                                   if k != "groundtruth"})
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,388 @@
+"""Pallas TPU kernel: fused band-matmul bilinear warp (MXU grid_sample).
+
+The XLA formulation (`ops.resample.grid_sample_mxu`) materializes the
+2-sparse x-interpolation matrix in HBM — ~29 MB per row-block, ~5.7 GB of
+write+read traffic per training step's warp volume, which bounds it at
+~26 ms. This kernel builds each 128-pixel one-hot tile directly in VMEM
+registers and feeds the MXU, so the only HBM traffic is the source image
+planes (once per (batch, block) — the padded image fits in VMEM), the
+per-pixel coordinates, and the output.
+
+Layout: channel planes (+ one zero pad plane) are stacked along rows as
+[B, 4*Hp, W] bf16 so the per-block band assembles into a [3K, W]
+VMEM scratch and x-interpolation is ONE [128, W] x [W, 128] MXU dot per
+tile (full 128-lane utilization). Per-pixel coords are pre-transposed to
+[B, T, 128, NT] so a tile's coordinate vector reads as a [128, 1] sublane
+column — no in-kernel relayouts.
+
+Gradients: training only needs d(out)/d(grid) (the warped sources are
+data, not activations — /root/reference/trainer.py:296-306 warps the
+reference frames). The custom VJP computes d_x/d_y analytically inside a
+mirror kernel (two MXU dots per tile, no HBM intermediates) and returns a
+ZERO gradient for the image. Semantics otherwise match
+grid_sample_mxu(band_pad, rows_per_block=8, dot_dtype=bf16): flow-adaptive
+vertical band, zeros padding, out-of-band taps contribute 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unsupervised_pseuso_lidar_tpu.ops.resample import _block_flow_centers
+
+LANES = 128
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _fwd_kernel(starts_ref, planes_ref, x0_ref, wx1_ref, k0_ref, wy1_ref,
+                out_r, out_g, out_b, band, *, num_tiles, band_rows,
+                plane_rows, width):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    start = starts_ref[b, t]
+    for c in range(3):
+        # start and plane_rows are multiples of 16 by construction
+        band[pl.ds(c * band_rows, band_rows), :] = planes_ref[
+            0, pl.ds(pl.multiple_of(c * plane_rows + start, 16), band_rows), :
+        ]
+
+    # Mosaic only allows tile-aligned dynamic vector loads/stores: fetch
+    # 8 sublane rows (= 8 coordinate tiles) at a time, then index rows
+    # statically. All per-pixel vectors live as [1, 128] lane rows; the
+    # one-hot is built transposed so no lane<->sublane relayout is needed.
+    iw_t = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
+    ik_t = jax.lax.broadcasted_iota(jnp.int32, (3 * band_rows, LANES), 0)
+
+    def tile8(ii, carry):
+        base = pl.multiple_of(ii * 8, 8)
+        x08 = x0_ref[0, 0, pl.ds(base, 8), :]          # [8, 128] int32
+        wx18 = wx1_ref[0, 0, pl.ds(base, 8), :]
+        k08 = k0_ref[0, 0, pl.ds(base, 8), :]
+        wy18 = wy1_ref[0, 0, pl.ds(base, 8), :]
+        outs = {0: [], 1: [], 2: []}
+        for r in range(8):
+            x0r = x08[r : r + 1, :]                    # [1, 128]
+            wx1r = wx18[r : r + 1, :]
+            k0r = k08[r : r + 1, :]
+            wy1r = wy18[r : r + 1, :]
+            onehot_t = (
+                jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
+                + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
+            ).astype(jnp.bfloat16)                     # [W, 128]
+            xint_t = jax.lax.dot_general(
+                band[:, :], onehot_t,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [4K, 128]
+            v0 = (k0r >= 0) & (k0r <= band_rows - 1)
+            v1 = (k0r + 1 >= 0) & (k0r + 1 <= band_rows - 1)
+            for c in range(3):
+                sel = (
+                    jnp.where((ik_t == c * band_rows + k0r) & v0,
+                              1.0 - wy1r, 0.0)
+                    + jnp.where((ik_t == c * band_rows + k0r + 1) & v1,
+                                wy1r, 0.0)
+                )
+                outs[c].append(
+                    jnp.sum(xint_t * sel, axis=0, keepdims=True)
+                )                                      # [1, 128]
+        for c, out_ref in enumerate((out_r, out_g, out_b)):
+            out_ref[0, 0, pl.ds(base, 8), :] = jnp.concatenate(
+                outs[c], axis=0
+            )
+        return carry
+
+    jax.lax.fori_loop(0, num_tiles // 8, tile8, 0)
+
+
+def _bwd_kernel(starts_ref, planes_ref, x0_ref, wx1_ref, k0_ref, wy1_ref,
+                dr_ref, dg_ref, db_ref, dx_out, dy_out, band, *, num_tiles,
+                band_rows, plane_rows, width):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    start = starts_ref[b, t]
+    for c in range(3):
+        band[pl.ds(c * band_rows, band_rows), :] = planes_ref[
+            0, pl.ds(pl.multiple_of(c * plane_rows + start, 16), band_rows), :
+        ]
+
+    iw_t = jax.lax.broadcasted_iota(jnp.int32, (width, LANES), 0)
+    ik_t = jax.lax.broadcasted_iota(jnp.int32, (3 * band_rows, LANES), 0)
+
+    def tile8(ii, carry):
+        base = pl.multiple_of(ii * 8, 8)
+        x08 = x0_ref[0, 0, pl.ds(base, 8), :]
+        wx18 = wx1_ref[0, 0, pl.ds(base, 8), :]
+        k08 = k0_ref[0, 0, pl.ds(base, 8), :]
+        wy18 = wy1_ref[0, 0, pl.ds(base, 8), :]
+        d8 = [ref[0, 0, pl.ds(base, 8), :]
+              for ref in (dr_ref, dg_ref, db_ref)]
+        dx_rows, dy_rows = [], []
+        for r in range(8):
+            x0r = x08[r : r + 1, :]
+            wx1r = wx18[r : r + 1, :]
+            k0r = k08[r : r + 1, :]
+            wy1r = wy18[r : r + 1, :]
+            doutr = [d[r : r + 1, :] for d in d8]      # [1, 128] each
+            onehot_t = (
+                jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
+                + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
+            ).astype(jnp.bfloat16)                     # [W, 128]
+            xint_t = jax.lax.dot_general(
+                band[:, :], onehot_t,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [4K, 128]
+            v0 = (k0r >= 0) & (k0r <= band_rows - 1)
+            v1 = (k0r + 1 >= 0) & (k0r + 1 <= band_rows - 1)
+            dy = jnp.zeros((1, LANES), jnp.float32)
+            dxint_t = jnp.zeros((3 * band_rows, LANES), jnp.float32)
+            for c in range(3):
+                m0 = jnp.where((ik_t == c * band_rows + k0r) & v0, 1.0, 0.0)
+                m1 = jnp.where((ik_t == c * band_rows + k0r + 1) & v1,
+                               1.0, 0.0)
+                tap0 = jnp.sum(xint_t * m0, axis=0, keepdims=True)
+                tap1 = jnp.sum(xint_t * m1, axis=0, keepdims=True)
+                # out_c = (1-wy1)*tap0 + wy1*tap1 -> d/dwy1 = tap1 - tap0
+                dy = dy + doutr[c] * (tap1 - tap0)
+                dxint_t = dxint_t + doutr[c] * (
+                    m0 * (1.0 - wy1r) + m1 * wy1r
+                )
+            d_onehot_t = jax.lax.dot_general(
+                band[:, :], dxint_t.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [W, 128]
+            # onehot = ind0*(1-wx1) + ind1*wx1
+            #   -> d/dwx1 = sum(d_onehot * (ind1 - ind0))
+            at1 = jnp.sum(
+                jnp.where(iw_t == x0r + 1, d_onehot_t, 0.0),
+                axis=0, keepdims=True,
+            )
+            at0 = jnp.sum(
+                jnp.where(iw_t == x0r, d_onehot_t, 0.0),
+                axis=0, keepdims=True,
+            )
+            dx_rows.append(at1 - at0)
+            dy_rows.append(dy)
+        dx_out[0, 0, pl.ds(base, 8), :] = jnp.concatenate(dx_rows, axis=0)
+        dy_out[0, 0, pl.ds(base, 8), :] = jnp.concatenate(dy_rows, axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, num_tiles // 8, tile8, 0)
+
+
+def _prepare(img, grid, band_pad, rows_per_block):
+    """Shared coordinate/band preprocessing. Returns kernel inputs."""
+    batch, height, width, channels = img.shape
+    rows, pad = rows_per_block, band_pad
+    band_rows = rows + 2 * pad
+    assert channels == 3
+    out_h = height
+    pad_h = (-out_h) % rows
+    if pad_h:
+        grid = jnp.pad(grid, ((0, 0), (0, pad_h), (0, 0), (0, 0)),
+                       constant_values=-3.0)
+    num_blocks = (out_h + pad_h) // rows
+    rw = rows * width
+    assert rw % LANES == 0, "rows_per_block*width must be a multiple of 128"
+    num_tiles = rw // LANES
+
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    x = (gx + 1.0) * 0.5 * (width - 1)
+    y = (gy + 1.0) * 0.5 * (height - 1)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx1 = x - x0f
+    wy1 = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # Mosaic requires dynamic sublane slices at multiple-of-16 offsets:
+    # pad plane height to 16 and align band starts down to 16 (band grows
+    # by 16 rows so coverage is preserved).
+    band_rows = band_rows + 16
+    plane_rows = -(-(height + 2 * pad) // 16) * 16
+    # channels-first + row pad + reshape (layout-preserving) + one more
+    # row-pad for the zero plane; avoids minor-dim strided channel slices,
+    # which miscompile under jit on the axon v5e (observed: plane content
+    # off by up to 255 vs eager)
+    planes = jnp.moveaxis(img, -1, 1)  # [B, 3, H, W]
+    planes = jnp.pad(
+        planes, ((0, 0), (0, 0), (pad, plane_rows - height - pad), (0, 0))
+    ).reshape(batch, 3 * plane_rows, width)
+    planes = planes.astype(jnp.bfloat16)  # [B, 3*Hp, W]
+
+    centers = _block_flow_centers(y, height, rows, num_blocks)
+    max_start = max(plane_rows - band_rows, 0)
+    starts = jnp.clip(
+        jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
+    ).astype(jnp.int32)  # [B, T]
+    starts = (starts // 16) * 16
+
+    k0 = (
+        y0.reshape(batch, num_blocks, rw)
+        + pad
+        - starts[..., None]
+    ).astype(jnp.int32)
+
+    assert num_tiles % 8 == 0, "rows_per_block*width must be a multiple of 1024"
+
+    def to_tiles(a):
+        # [B, T(*), rw] -> [B, T, NT, 128]: tile i holds pixels i*128+s
+        return a.reshape(batch, num_blocks, num_tiles, LANES)
+
+    x0_t = to_tiles(x0.reshape(batch, num_blocks, rw))
+    wx1_t = to_tiles(wx1.reshape(batch, num_blocks, rw)).astype(jnp.float32)
+    k0_t = to_tiles(k0)
+    wy1_t = to_tiles(wy1.reshape(batch, num_blocks, rw)).astype(jnp.float32)
+    shape = dict(
+        batch=batch, height=height, width=width, rows=rows,
+        band_rows=band_rows, plane_rows=plane_rows, num_blocks=num_blocks,
+        num_tiles=num_tiles, out_h=out_h,
+    )
+    return starts, planes, x0_t, wx1_t, k0_t, wy1_t, shape
+
+
+def _tile_spec(shape):
+    # index maps under PrefetchScalarGridSpec receive the scalar ref too
+    return pl.BlockSpec(
+        (1, 1, shape["num_tiles"], LANES),
+        lambda b, t, starts: (b, t, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _plane_spec(shape):
+    return pl.BlockSpec(
+        (1, 3 * shape["plane_rows"], shape["width"]),
+        lambda b, t, starts: (b, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _grid_spec(shape, num_inputs, num_outputs):
+    tile = _tile_spec(shape)
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(shape["batch"], shape["num_blocks"]),
+        in_specs=[_plane_spec(shape)] + [tile] * num_inputs,
+        out_specs=[tile] * num_outputs,
+        scratch_shapes=[pltpu.VMEM((3 * shape["band_rows"], shape["width"]),
+                                   jnp.bfloat16)],
+    )
+
+
+def _untile(a, shape):
+    # [B, T, NT, 128] -> [B, H, W]
+    batch = shape["batch"]
+    return a.reshape(
+        batch, shape["num_blocks"] * shape["rows"], shape["width"]
+    )[:, : shape["out_h"]]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_sample_mxu_fused(
+    img: jax.Array,
+    grid: jax.Array,
+    band_pad: int = 12,
+    rows_per_block: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused-Pallas bilinear warp (see module docstring).
+
+    NOTE: the VJP returns ZERO gradient for `img` (training warps data
+    frames). Use grid_sample / grid_sample_mxu where image gradients are
+    needed.
+    """
+    out, _ = _fwd(img, grid, band_pad, rows_per_block, interpret)
+    return out
+
+
+def _fwd(img, grid, band_pad, rows_per_block, interpret):
+    if interpret is None:
+        interpret = not _on_tpu()
+    starts, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
+        img, grid, band_pad, rows_per_block
+    )
+    # materialize kernel operands in canonical layout: without this,
+    # jit-fused producers hand Mosaic non-default layouts and the kernel
+    # reads garbage (observed on v5e: eager exact, jitted wrong)
+    starts, planes, x0_t, wx1_t, k0_t, wy1_t = jax.lax.optimization_barrier(
+        (starts, planes, x0_t, wx1_t, k0_t, wy1_t)
+    )
+    kernel = functools.partial(
+        _fwd_kernel,
+        num_tiles=shape["num_tiles"],
+        band_rows=shape["band_rows"],
+        plane_rows=shape["plane_rows"],
+        width=shape["width"],
+    )
+    tiles_shape = jax.ShapeDtypeStruct(x0_t.shape, jnp.float32)
+    out_r, out_g, out_b = pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(shape, num_inputs=4, num_outputs=3),
+        out_shape=[tiles_shape] * 3,
+        interpret=interpret,
+    )(starts, planes, x0_t, wx1_t, k0_t, wy1_t)
+    out = jnp.stack(
+        [_untile(c, shape) for c in (out_r, out_g, out_b)], axis=-1
+    ).astype(img.dtype)
+    residuals = (img, grid)
+    return out, residuals
+
+
+def _bwd(band_pad, rows_per_block, interpret, residuals, g):
+    img, grid = residuals
+    if interpret is None:
+        interpret = not _on_tpu()
+    starts, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
+        img, grid, band_pad, rows_per_block
+    )
+    batch, height, width = shape["batch"], shape["height"], shape["width"]
+    rows, num_blocks = shape["rows"], shape["num_blocks"]
+    rw = rows * width
+    pad_h = num_blocks * rows - shape["out_h"]
+    gpad = jnp.pad(
+        g.astype(jnp.float32), ((0, 0), (0, pad_h), (0, 0), (0, 0))
+    )
+
+    def to_tiles(a):
+        return a.reshape(batch, num_blocks, shape["num_tiles"], LANES)
+
+    douts = [to_tiles(gpad[..., c].reshape(batch, num_blocks, rw))
+             for c in range(3)]
+    kernel = functools.partial(
+        _bwd_kernel,
+        num_tiles=shape["num_tiles"],
+        band_rows=shape["band_rows"],
+        plane_rows=shape["plane_rows"],
+        width=width,
+    )
+    tiles_shape = jax.ShapeDtypeStruct(x0_t.shape, jnp.float32)
+    dx_t, dy_t = pl.pallas_call(
+        kernel,
+        grid_spec=_grid_spec(shape, num_inputs=7, num_outputs=2),
+        out_shape=[tiles_shape] * 2,
+        interpret=interpret,
+    )(starts, planes, x0_t, wx1_t, k0_t, wy1_t, *douts)
+    dx = _untile(dx_t, shape)
+    dy = _untile(dy_t, shape)
+    # x = (gx+1)/2*(W-1); y = (gy+1)/2*(H-1)
+    d_grid = jnp.stack(
+        [dx * (0.5 * (width - 1)), dy * (0.5 * (height - 1))], axis=-1
+    ).astype(grid.dtype)
+    return jnp.zeros_like(img), d_grid
+
+
+grid_sample_mxu_fused.defvjp(_fwd, _bwd)

@@ -182,8 +182,10 @@ class Config:
             raise ValueError("validation split ratio must be in [0, 1]")
         if self.action.precision not in ("fp32", "bf16"):
             raise ValueError("action.precision must be 'fp32' or 'bf16'")
-        if self.action.warp_impl not in ("mxu", "gather"):
-            raise ValueError("action.warp_impl must be 'mxu' or 'gather'")
+        if self.action.warp_impl not in ("mxu", "gather", "pallas"):
+            raise ValueError(
+                "action.warp_impl must be 'mxu', 'gather', or 'pallas'"
+            )
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -239,6 +239,11 @@ def make_train_step(
         enabling larger per-chip batches at high resolutions.
     """
 
+    if mesh is not None and warp_impl == "pallas":
+        # pallas_call does not partition under GSPMD; the XLA band-matmul
+        # warp shards cleanly and is the next-fastest implementation
+        warp_impl = "mxu"
+
     def loss_fn(params, batch_stats, batch, step_idx):
         batch = normalize_uint8_batch(batch)
         if color_jitter or hflip:
