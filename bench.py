@@ -46,6 +46,8 @@ def main(argv=None):
     parser.add_argument("--warp", default="pallas",
                         choices=("pallas", "mxu", "gather"),
                         help="photometric warp implementation")
+    parser.add_argument("--depth-model", default="DispResNet",
+                        help="depth net (DispResNet | DispNetS | StnDispNet)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     args.steps = max(1, args.steps)
@@ -70,7 +72,7 @@ def main(argv=None):
         {
             "model": {
                 "name": "bench",
-                "depth": {"name": "DispResNet"},
+                "depth": {"name": args.depth_model},
                 "pose": {"name": "PoseNet"},
             },
             "datasets": {

@@ -116,6 +116,15 @@ class TestDepthModels:
         # alpha*sigmoid+beta range
         assert (vals >= 0.01).all() and (vals <= 10.01).all()
 
+    def test_dispnets_non_pow2_size(self):
+        # sizes not divisible by 2^7: crop_like path (the reference's
+        # disp_net.py:44-46 behavior; 640x192 is the bench config)
+        model = build_model("DispNetS")
+        x = jnp.zeros((1, 40, 56, 3))
+        disps, _ = _init_and_run(model, x)
+        assert disps[0].shape == (1, 40, 56, 1)
+        assert disps[1].shape == (1, 20, 28, 1)
+
     def test_stn_dispnet_shapes(self):
         model = build_model("StnDispNet")
         x = jnp.zeros((1, 64, 96, 3))
