@@ -67,7 +67,8 @@ def main(argv=None):
         with profile_ctx:
             trainer.fit(
                 make_train_iter=lambda epoch: prefetch_to_device(
-                    dataset.batches(epoch), device_put=device_put
+                    dataset.batches(epoch), device_put=device_put,
+                    chunk_bytes=4 << 20,
                 ),
             )
         return trainer
@@ -89,6 +90,7 @@ def main(argv=None):
             make_train_iter=lambda epoch: prefetch_to_device(
                 dataset.batches(train_idx, batch_size, workers),
                 device_put=device_put,
+                chunk_bytes=4 << 20,
             ),
             make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
         )

@@ -27,7 +27,6 @@ vertical band, zeros padding, out-of-band taps contribute 0.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
