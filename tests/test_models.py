@@ -28,6 +28,23 @@ def _accepts_train(model):
 
 
 class TestTorchLayers:
+    def test_reflect_pad1_matches_jnp_pad(self):
+        # the slice+concat formulation (HBM-cheap on TPU) must be exact,
+        # including gradients, vs jnp.pad(mode='reflect')
+        from unsupervised_pseuso_lidar_tpu.ops.resample import reflect_pad1
+
+        x = jnp.asarray(RNG.uniform(-1, 1, (2, 5, 7, 3)).astype(np.float32))
+        ref_pad = lambda t: jnp.pad(
+            t, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reflect_pad1(x)), np.asarray(ref_pad(x))
+        )
+        grad_of = lambda f: jax.grad(lambda t: jnp.sum(jnp.sin(f(t))))(x)
+        np.testing.assert_array_equal(
+            np.asarray(grad_of(reflect_pad1)), np.asarray(grad_of(ref_pad))
+        )
+
     def test_conv_matches_torch(self):
         torch = pytest.importorskip("torch")
         x = RNG.uniform(-1, 1, (2, 12, 16, 5)).astype(np.float32)

@@ -89,6 +89,29 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    def test_loss_decreases_bf16(self):
+        # the production TPU precision (bf16 model compute, fp32 loss and
+        # params — bench.py default): training must converge like fp32
+        config = _small_config()
+        config.action.precision = "bf16"
+        state, depth_model, pose_model, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10,
+            dtype=jnp.bfloat16,
+        )
+        step = make_train_step(depth_model, pose_model, tx)
+        batch = synthetic_triplet_batch(2, 64, 96, seed=0, depth=10.0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
+
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        # params stay fp32 (master weights); only model compute is bf16
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.dtype == jnp.float32
+
     def test_semi_sup_pose_uses_oxts(self):
         config = _small_config()
         state, depth_model, pose_model, tx = create_train_state(

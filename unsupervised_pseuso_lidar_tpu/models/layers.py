@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from unsupervised_pseuso_lidar_tpu.ops.resample import reflect_pad1  # noqa: F401 (re-export)
+
 
 def torch_padding(kernel_size: int) -> Sequence[tuple]:
     pad = (kernel_size - 1) // 2
@@ -108,8 +110,10 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mode = "reflect" if self.use_refl else "constant"
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        if self.use_refl:
+            x = reflect_pad1(x)
+        else:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         return nn.Conv(
             self.features,
             (3, 3),

@@ -19,8 +19,13 @@ def _box3x3_reflect(x: jax.Array) -> jax.Array:
     """3x3 mean filter with reflection padding, output same H, W.
 
     Separable: row average then column average of the reflect-padded map.
+    Padding is slice+concat (same-dtype data movement) — jnp.pad's reflect
+    mode expands into activation-sized s32 iota/select chains under XLA
+    (see ops/resample.reflect_pad1).
     """
-    pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    from unsupervised_pseuso_lidar_tpu.ops.resample import reflect_pad1
+
+    pad = reflect_pad1(x)
     horiz = (pad[:, :, :-2, :] + pad[:, :, 1:-1, :] + pad[:, :, 2:, :]) / 3.0
     return (horiz[:, :-2, :, :] + horiz[:, 1:-1, :, :] + horiz[:, 2:, :, :]) / 3.0
 
