@@ -165,6 +165,30 @@ def main():
     report["train_step_b12_ms"] = round(dt * 1e3, 3)
     report["train_step_b12_fps"] = round(12.0 / dt, 2)
 
+    # 4b. full train step, batch 12, production precision (bf16 compute)
+    config_bf16 = Config.from_dict(
+        {
+            "model": {
+                "name": "benchmatrix",
+                "depth": {"name": "DispResNet"},
+                "pose": {"name": "PoseNet"},
+            },
+            "datasets": {
+                "augmentation": {"image_width": width, "image_height": height},
+            },
+            "action": {"batch_size": 12, "precision": "bf16"},
+        }
+    )
+    state16, depth16, pose16, tx16 = create_train_state(
+        config_bf16, jax.random.PRNGKey(0), 1000, dtype=jnp.bfloat16
+    )
+    step16 = make_train_step(
+        depth16, pose16, tx16, donate=False, warp_impl="pallas"
+    )
+    dt = timeit(lambda: step16(state16, batch), args.steps)
+    report["train_step_b12_bf16_ms"] = round(dt * 1e3, 3)
+    report["train_step_b12_bf16_fps"] = round(12.0 / dt, 2)
+
     # 5. streaming epoch: loader -> prefetch -> train (host pipeline incl.)
     from unsupervised_pseuso_lidar_tpu.data.pipeline import prefetch_to_device
     from unsupervised_pseuso_lidar_tpu.data.synthetic import (
@@ -196,6 +220,28 @@ def main():
     dt = (time.perf_counter() - t0)
     report["streaming_epoch_fps"] = round(n / dt, 2)
     report["streaming_epoch_frames"] = n
+
+    # 6. BTS serving model: single-frame depth at the ROS pipeline's input
+    # size (352x1216, pseudo-lidar/DepthPipeline.py:43-49); reference target
+    # rate is 10 Hz per node (DepthPipeline.py:93).
+    from unsupervised_pseuso_lidar_tpu.models import build_model
+
+    bts = build_model("BtsModel", dtype=jnp.bfloat16)
+    bts_img = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (1, 352, 1216, 3)),
+        dtype=jnp.float32,
+    )
+    bts_vars = jax.jit(partial(bts.init, train=False))(
+        jax.random.PRNGKey(0), bts_img
+    )
+
+    @jax.jit
+    def bts_infer(variables, img):
+        return bts.apply(variables, img, train=False)[4]
+
+    dt = timeit(lambda: bts_infer(bts_vars, bts_img), max(args.steps // 5, 5))
+    report["bts_inference_352x1216_ms"] = round(dt * 1e3, 3)
+    report["bts_inference_fps"] = round(1.0 / dt, 2)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REPORT.json")
     with open(out, "w") as f:
