@@ -21,6 +21,29 @@ from unsupervised_pseuso_lidar_tpu.utils.visualization import (
 )
 
 
+def test_op_breakdown_returns_per_family_ms(tmp_path):
+    # trace capture + xplane parse (the tool behind docs/DESIGN.md §8a);
+    # on the CPU backend XLA ops land on the host plane — the summary must
+    # still parse and return a dict of ms/step
+    from unsupervised_pseuso_lidar_tpu.utils.trace import (
+        _op_family,
+        op_breakdown,
+    )
+
+    assert _op_family("%fusion.123 = bf16[2,2] fusion(...)") == "fusion"
+    assert _op_family("copy-start.4") == "copy-start"
+
+    @jax.jit
+    def f(x):
+        return jnp.sin(x @ x).sum()
+
+    result = op_breakdown(
+        f, jnp.ones((64, 64)), steps=2, trace_dir=str(tmp_path), verbose=False
+    )
+    assert isinstance(result, dict)
+    assert all(v >= 0.0 for v in result.values())
+
+
 def test_step_timer_summary():
     timer = StepTimer()
     for _ in range(5):

@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the first "
                         "epoch into DIR")
+    parser.add_argument("--op-breakdown", action="store_true",
+                        help="after training, print per-op-family device "
+                        "ms/step of one train step (utils/trace.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -71,6 +74,8 @@ def main(argv=None):
                     chunk_bytes=4 << 20,
                 ),
             )
+        if args.op_breakdown:
+            _op_breakdown_step(trainer, next(iter(dataset.batches(0))))
         return trainer
 
     from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
@@ -94,7 +99,24 @@ def main(argv=None):
             ),
             make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
         )
+    if args.op_breakdown:
+        _op_breakdown_step(
+            trainer, next(iter(dataset.batches(train_idx, batch_size, workers)))
+        )
     return trainer
+
+
+def _op_breakdown_step(trainer, batch) -> None:
+    """Print the per-op-family device time of one jitted train step."""
+    from unsupervised_pseuso_lidar_tpu.utils.trace import op_breakdown
+
+    device_batch = trainer._device_batch(batch)
+
+    def run_step():  # rebind state: the jitted step donates its input state
+        trainer.state, metrics = trainer.train_step(trainer.state, device_batch)
+        return metrics
+
+    op_breakdown(run_step, steps=3)
 
 
 if __name__ == "__main__":
