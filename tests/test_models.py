@@ -33,13 +33,17 @@ class TestTorchLayers:
         # including gradients, vs jnp.pad(mode='reflect')
         from unsupervised_pseuso_lidar_tpu.ops.resample import reflect_pad1
 
-        x = jnp.asarray(RNG.uniform(-1, 1, (2, 5, 7, 3)).astype(np.float32))
         ref_pad = lambda t: jnp.pad(
             t, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
         )
-        np.testing.assert_array_equal(
-            np.asarray(reflect_pad1(x)), np.asarray(ref_pad(x))
-        )
+        # incl. size-1 dims (the decoder's deepest level at small test
+        # resolutions), where reflect degenerates to replication
+        for shape in [(2, 5, 7, 3), (1, 1, 4, 2), (1, 4, 1, 2), (1, 1, 1, 2)]:
+            t = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(reflect_pad1(t)), np.asarray(ref_pad(t))
+            )
+        x = jnp.asarray(RNG.uniform(-1, 1, (2, 5, 7, 3)).astype(np.float32))
         grad_of = lambda f: jax.grad(lambda t: jnp.sum(jnp.sin(f(t))))(x)
         np.testing.assert_array_equal(
             np.asarray(grad_of(reflect_pad1)), np.asarray(grad_of(ref_pad))

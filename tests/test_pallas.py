@@ -92,6 +92,37 @@ class TestFusedWarp:
             np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
         )
 
+    def test_column_banded_matches_full_width(self):
+        # column banding (a pure FLOP reduction) must be bit-exact vs the
+        # full-width kernel, fwd and grad, when the window covers the flow
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            col_coverage,
+            grid_sample_mxu_fused,
+        )
+
+        jax, img, grid = self._case(batch=1, height=16, width=512)
+        assert float(col_coverage(grid, 384)) == 1.0
+        full = grid_sample_mxu_fused(img, grid, 4, 8, True, 0)
+        banded = grid_sample_mxu_fused(img, grid, 4, 8, True, 384)
+        np.testing.assert_array_equal(np.asarray(banded), np.asarray(full))
+
+        def loss(cb, g):
+            return jnp.sum(grid_sample_mxu_fused(img, g, 4, 8, True, cb) ** 2)
+
+        g_full = jax.grad(lambda g: loss(0, g))(grid)
+        g_band = jax.grad(lambda g: loss(384, g))(grid)
+        np.testing.assert_array_equal(np.asarray(g_band), np.asarray(g_full))
+
+    def test_col_coverage_degrades_out_of_window(self):
+        # a spread wider than the window tolerance must be flagged < 1
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage
+
+        _, _, grid = self._case(batch=1, height=16, width=512)
+        wild = grid + jnp.asarray(
+            RNG.uniform(-0.8, 0.8, grid.shape), jnp.float32
+        )
+        assert float(col_coverage(wild, 384)) < 1.0
+
     def test_image_gradient_is_zero(self):
         from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
             grid_sample_mxu_fused,

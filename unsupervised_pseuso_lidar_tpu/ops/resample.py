@@ -30,9 +30,17 @@ def reflect_pad1(x: jax.Array) -> jax.Array:
     activation itself — measured 4 x 290 MB of s32 traffic per padded
     decoder conv (fwd AND bwd) in the b12 train step, making the
     reflection pads, not the convolutions, the step's largest HBM
-    consumer."""
-    x = jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
-    return jnp.concatenate([x[:, :, 1:2], x, x[:, :, -2:-1]], axis=2)
+    consumer.
+
+    Size-1 dims replicate the single row/column (numpy/jnp reflect-mode
+    behavior — the decoder's deepest feature map can be 1 pixel tall at
+    small test resolutions; torch's ReflectionPad2d would refuse)."""
+    h_lo = x[:, 1:2] if x.shape[1] > 1 else x[:, :1]
+    h_hi = x[:, -2:-1] if x.shape[1] > 1 else x[:, -1:]
+    x = jnp.concatenate([h_lo, x, h_hi], axis=1)
+    w_lo = x[:, :, 1:2] if x.shape[2] > 1 else x[:, :, :1]
+    w_hi = x[:, :, -2:-1] if x.shape[2] > 1 else x[:, :, -1:]
+    return jnp.concatenate([w_lo, x, w_hi], axis=2)
 
 
 def _gather_pixels(img: jax.Array, ix: jax.Array, iy: jax.Array) -> jax.Array:
