@@ -21,6 +21,39 @@ from unsupervised_pseuso_lidar_tpu.utils.visualization import (
 )
 
 
+def test_metric_logger_images_and_histograms():
+    # wandb-off: every surface is a silent no-op; wandb-on (faked): images
+    # and per-layer histograms are forwarded (reference trainer.py:118-127,
+    # 204-212 — wandb.watch + log_depth_predictions parity)
+    from unsupervised_pseuso_lidar_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(None)
+    logger({"loss": 1.0}, step=1)
+    logger.log_images({"depth": np.zeros((4, 4, 3), np.uint8)}, step=1)
+    logger.log_param_histograms({"w": jnp.ones((3,))}, step=1)
+
+    class FakeWandb:
+        def __init__(self):
+            self.logged = []
+
+        def Image(self, x):
+            return ("img", np.shape(x))
+
+        def Histogram(self, x):
+            return ("hist", len(x))
+
+        def log(self, payload, step=None):
+            self.logged.append((payload, step))
+
+    fake = FakeWandb()
+    logger._wandb = fake
+    logger.log_images({"depth": np.zeros((4, 4, 3), np.uint8)}, step=2)
+    logger.log_param_histograms({"depth": {"w": jnp.ones((6,))}}, step=2)
+    assert fake.logged[0][0]["depth"][0] == "img"
+    hist_payload = fake.logged[1][0]
+    assert any(k.startswith("params/") for k in hist_payload)
+
+
 def test_op_breakdown_returns_per_family_ms(tmp_path):
     # trace capture + xplane parse (the tool behind docs/DESIGN.md §8a);
     # on the CPU backend XLA ops land on the host plane — the summary must

@@ -435,6 +435,7 @@ class Trainer:
         self.dataset = dataset
         self.log_fn = log_fn
         self.epoch = 0
+        self._last_batch = None
 
         if dataset is not None:
             steps_per_epoch = max(
@@ -499,6 +500,7 @@ class Trainer:
         """One pass over an iterable of host batches."""
         last_metrics: Dict[str, float] = {}
         for i, batch in enumerate(train_batches):
+            self._last_batch = batch  # epoch-end warp visualization
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(batch)
             )
@@ -596,6 +598,18 @@ class Trainer:
                     )
                     if self.log_fn is not None:
                         self.log_fn(metrics, int(self.state.step))
+                # wandb image parity (reference log_depth_predictions /
+                # log_warps): render target/warp/depth for the first sample
+                # of the last batch when an image-capable logger is active
+                if (
+                    getattr(self.log_fn, "_wandb", None) is not None
+                    and getattr(self, "_last_batch", None) is not None
+                    and hasattr(self.log_fn, "log_images")
+                ):
+                    paths = self.log_warps(
+                        self._last_batch, step=int(self.state.step)
+                    )
+                    self.log_fn.log_images(paths, int(self.state.step))
                 self.checkpoints.save(self.state, self.epoch)
                 if interrupted["flag"]:
                     print(

@@ -35,3 +35,32 @@ class MetricLogger:
         print(json.dumps(record), flush=True)
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+
+    def log_images(self, images: Dict[str, str], step: int) -> None:
+        """Log rendered images (name -> PNG path or HWC array).
+
+        Parity: log_depth_predictions / the predictions wandb.Table
+        (/root/reference/trainer.py:118-127,204-212). No-op without wandb."""
+        if self._wandb is None:
+            return
+        self._wandb.log(
+            {name: self._wandb.Image(img) for name, img in images.items()},
+            step=step,
+        )
+
+    def log_param_histograms(self, params, step: int) -> None:
+        """Per-layer weight histograms — the flax analog of
+        wandb.watch(depth_model) (/root/reference/trainer.py:121, which is
+        torch-module-specific). No-op without wandb."""
+        if self._wandb is None:
+            return
+        import jax
+        import numpy as np
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        hists = {
+            "params/" + "/".join(str(getattr(k, "key", k)) for k in path):
+                self._wandb.Histogram(np.asarray(leaf).ravel())
+            for path, leaf in flat
+        }
+        self._wandb.log(hists, step=step)
