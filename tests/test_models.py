@@ -49,6 +49,38 @@ class TestTorchLayers:
             np.asarray(grad_of(reflect_pad1)), np.asarray(grad_of(ref_pad))
         )
 
+    def test_conv3x3_border_ring_matches_naive_reflect(self):
+        # Conv3x3 computes interior via fused zero-pad conv + exact border
+        # strips (models/layers.py); must equal the naive reflect-pad conv
+        # bit-for-bit in fwd, and to fp32 reassociation noise in grad
+        from flax import linen as nn
+
+        from unsupervised_pseuso_lidar_tpu.models.layers import Conv3x3
+        from unsupervised_pseuso_lidar_tpu.ops.resample import reflect_pad1
+
+        class Oracle(nn.Module):
+            features: int = 8
+
+            @nn.compact
+            def __call__(self, x):
+                return nn.Conv(
+                    self.features, (3, 3), padding="VALID",
+                    kernel_init=nn.initializers.he_normal(),
+                )(reflect_pad1(x))
+
+        for shape in [(2, 6, 9, 4), (1, 3, 3, 2), (1, 2, 5, 3)]:
+            x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
+            model = Conv3x3(8)
+            variables = model.init(jax.random.PRNGKey(1), x)
+            ours = model.apply(variables, x)
+            ref = Oracle(8).apply(variables, x)  # same single-Conv tree
+            np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+            g1 = jax.grad(lambda t: jnp.sum(jnp.sin(model.apply(variables, t))))(x)
+            g2 = jax.grad(lambda t: jnp.sum(jnp.sin(Oracle(8).apply(variables, t))))(x)
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), atol=1e-5
+            )
+
     def test_conv_matches_torch(self):
         torch = pytest.importorskip("torch")
         x = RNG.uniform(-1, 1, (2, 12, 16, 5)).astype(np.float32)
