@@ -99,6 +99,35 @@ def inverse_warp_from_matrix(
     return grid_sample(img, coords, align_corners=True, padding_mode=padding_mode)
 
 
+def warp_coverage(
+    depth: jax.Array,
+    transform: jax.Array,
+    intrinsics: jax.Array,
+    band_pad: int = 12,
+    rows_per_block: int = 8,
+):
+    """Approximation-coverage of the banded warp kernels for this warp.
+
+    Returns {band_coverage, col_coverage}: the fraction of in-image sample
+    points inside the vertical flow band (ops.resample.band_coverage) and
+    the horizontal column window (ops.pallas.warp.col_coverage). Both are
+    1.0 when the 'mxu'/'pallas' warp implementations are exact (up to bf16
+    rounding) for this (depth, pose); below 1.0, the out-of-band fraction
+    reads zero and biases the photometric loss — surface these in training
+    metrics whenever a banded warp_impl is active."""
+    if intrinsics.ndim == 2:
+        intrinsics = intrinsics[None]
+    cam_points = backproject(depth, intrinsics)
+    coords = project(cam_points, intrinsics, transform)
+    from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage
+    from unsupervised_pseuso_lidar_tpu.ops.resample import band_coverage
+
+    return {
+        "band_coverage": band_coverage(coords, band_pad, rows_per_block),
+        "col_coverage": col_coverage(coords, None, rows_per_block),
+    }
+
+
 def inverse_warp(
     img: jax.Array,
     depth: jax.Array,

@@ -216,6 +216,22 @@ def resolve_col_band(width: int, col_band) -> int:
     return col_band
 
 
+def _column_window_starts(x_t: jax.Array, width: int, wb: int) -> jax.Array:
+    """128-aligned column-window starts per coordinate tile.
+
+    x_t: [B, T, NT, 128] unnormalized sample columns. Single source of
+    truth shared by the kernel preprocessing (_prepare) and the
+    `col_coverage` monitor — the monitor is only truthful if both compute
+    identical windows."""
+    valid = (x_t > -1.0) & (x_t < width)
+    cnt = jnp.sum(valid, axis=-1)
+    mean_x = jnp.sum(jnp.where(valid, x_t, 0.0), axis=-1) / jnp.maximum(cnt, 1)
+    c0_raw = (mean_x - (wb - 1) / 2.0) / LANES
+    c0s = jnp.clip(jnp.round(c0_raw).astype(jnp.int32) * LANES, 0, width - wb)
+    c0s = jnp.where(cnt > 0, c0s, 0).astype(jnp.int32)
+    return jax.lax.stop_gradient(c0s)
+
+
 def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     """Shared coordinate/band preprocessing. Returns kernel inputs."""
     batch, height, width, channels = img.shape
@@ -291,17 +307,7 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     wb = resolve_col_band(width, col_band)
     if wb < width:
         x_t = to_tiles(x.reshape(batch, num_blocks, rw))
-        valid = (x_t > -1.0) & (x_t < width)
-        cnt = jnp.sum(valid, axis=-1)
-        mean_x = jnp.sum(jnp.where(valid, x_t, 0.0), axis=-1) / jnp.maximum(
-            cnt, 1
-        )
-        c0_raw = (mean_x - (wb - 1) / 2.0) / LANES
-        c0s = jnp.clip(
-            jnp.round(c0_raw).astype(jnp.int32) * LANES, 0, width - wb
-        )
-        c0s = jnp.where(cnt > 0, c0s, 0).astype(jnp.int32)
-        c0s = jax.lax.stop_gradient(c0s)               # [B, T, NT]
+        c0s = _column_window_starts(x_t, width, wb)    # [B, T, NT]
         x0_t = x0_t - c0s[..., None]                   # window-relative
     else:
         c0s = jnp.zeros((batch, num_blocks, num_tiles), jnp.int32)
@@ -486,19 +492,17 @@ def col_coverage(
     x = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (width - 1)
     x_t = x.reshape(batch, num_blocks, num_tiles, LANES)
     valid = (x_t > -1.0) & (x_t < width)
-    cnt = jnp.sum(valid, axis=-1)
-    mean_x = jnp.sum(jnp.where(valid, x_t, 0.0), axis=-1) / jnp.maximum(cnt, 1)
-    c0s = jnp.clip(
-        jnp.round((mean_x - (wb - 1) / 2.0) / LANES).astype(jnp.int32) * LANES,
-        0, width - wb,
-    )
-    c0s = jnp.where(cnt > 0, c0s, 0)
+    c0s = _column_window_starts(x_t, width, wb)  # the kernel's exact windows
     x0_abs = jnp.floor(x_t).astype(jnp.int32)
     x0 = x0_abs - c0s[..., None]
-    # a tap only needs to be in-window when it is in-image (out-of-image
-    # taps contribute zero in the full-width kernel too)
-    tap0_ok = (x0 >= 0) | (x0_abs < 0)
-    tap1_ok = (x0 + 1 <= wb - 1) | (x0_abs + 1 > width - 1)
+    # per tap: must be inside the window unless it is out of the IMAGE
+    # (out-of-image taps contribute zero in the full-width kernel too)
+    tap0_ok = ((x0 >= 0) & (x0 <= wb - 1)) | (x0_abs < 0) | (
+        x0_abs > width - 1
+    )
+    tap1_ok = ((x0 + 1 >= 0) & (x0 + 1 <= wb - 1)) | (x0_abs + 1 < 0) | (
+        x0_abs + 1 > width - 1
+    )
     ok = jnp.where(valid, tap0_ok & tap1_ok, True)
     # only the first `height` output rows are real
     ok = ok.reshape(batch, num_blocks * rows, width)[:, :height]

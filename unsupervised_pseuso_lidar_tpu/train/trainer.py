@@ -277,7 +277,30 @@ def make_train_step(
             warp_impl=warp_impl,
         )
         loss = reproj + smooth
-        return loss, (reproj, smooth, new_stats)
+        extra: Dict[str, jax.Array] = {}
+        if warp_impl in ("mxu", "pallas"):
+            # banded-warp health: fraction of photometric taps inside the
+            # vertical/horizontal approximation windows (1.0 = exact); a
+            # sustained drop means out-of-band taps are reading zero and
+            # biasing the loss — widen band_pad / disable col banding.
+            from unsupervised_pseuso_lidar_tpu.geometry.se3 import (
+                pose_matrix,
+            )
+            from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+                disp_to_depth,
+                warp_coverage,
+            )
+
+            extra = jax.lax.stop_gradient(
+                warp_coverage(
+                    disp_to_depth(disps_tgt[0][..., 0]),
+                    pose_matrix(poses[:, 0]),
+                    batch["intrinsics"],
+                )
+            )
+            if warp_impl != "pallas":  # column banding is pallas-only
+                extra.pop("col_coverage")
+        return loss, (reproj, smooth, new_stats, extra)
 
     maybe_remat_loss = jax.checkpoint(loss_fn) if remat else loss_fn
 
@@ -292,7 +315,7 @@ def make_train_step(
 
             def scan_body(carry, micro_batch):
                 grad_sum, loss_sum, reproj_sum, smooth_sum, stats = carry
-                (loss, (reproj, smooth, new_stats)), grads = grad_fn(
+                (loss, (reproj, smooth, new_stats, extra)), grads = grad_fn(
                     state.params, stats, micro_batch, state.step
                 )
                 carry = (
@@ -302,19 +325,20 @@ def make_train_step(
                     smooth_sum + smooth,
                     new_stats,
                 )
-                return carry, None
+                return carry, extra
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss, reproj, smooth, new_stats), _ = jax.lax.scan(
+            (grads, loss, reproj, smooth, new_stats), extra_seq = jax.lax.scan(
                 scan_body,
                 (zeros, 0.0, 0.0, 0.0, state.batch_stats),
                 micro,
             )
+            extra = jax.tree.map(lambda m: jnp.mean(m), extra_seq)
             scale = 1.0 / accum_steps
             grads = jax.tree.map(lambda g: g * scale, grads)
             loss, reproj, smooth = loss * scale, reproj * scale, smooth * scale
         else:
-            (loss, (reproj, smooth, new_stats)), grads = grad_fn(
+            (loss, (reproj, smooth, new_stats, extra)), grads = grad_fn(
                 state.params, state.batch_stats, batch, state.step
             )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -329,6 +353,7 @@ def make_train_step(
             "loss": loss,
             "mul_app_loss": reproj,
             "smoothness_loss": smooth,
+            **extra,
         }
         return new_state, metrics
 
@@ -499,6 +524,8 @@ class Trainer:
     def run_epoch(self, train_batches) -> Dict[str, float]:
         """One pass over an iterable of host batches."""
         last_metrics: Dict[str, float] = {}
+        metrics = None
+        self._last_batch = None  # never carry a stale batch across epochs
         for i, batch in enumerate(train_batches):
             self._last_batch = batch  # epoch-end warp visualization
             self.state, metrics = self.train_step(
@@ -507,9 +534,10 @@ class Trainer:
             if self.log_fn is not None and (i + 1) % self.config.action.log_freq == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 self.log_fn(last_metrics, int(self.state.step))
+        if metrics is None:  # empty iterator (e.g. split smaller than batch)
+            return last_metrics
         # fetch final metrics once per epoch (single host sync)
-        last_metrics = {k: float(v) for k, v in metrics.items()}
-        return last_metrics
+        return {k: float(v) for k, v in metrics.items()}
 
     def validate(self, val_batches) -> Dict[str, float]:
         sums: Dict[str, float] = {}
@@ -610,6 +638,14 @@ class Trainer:
                         self._last_batch, step=int(self.state.step)
                     )
                     self.log_fn.log_images(paths, int(self.state.step))
+                if (
+                    getattr(self.log_fn, "_wandb", None) is not None
+                    and hasattr(self.log_fn, "log_param_histograms")
+                ):
+                    # wandb.watch parity: per-layer weight histograms
+                    self.log_fn.log_param_histograms(
+                        self.state.params, int(self.state.step)
+                    )
                 self.checkpoints.save(self.state, self.epoch)
                 if interrupted["flag"]:
                     print(
