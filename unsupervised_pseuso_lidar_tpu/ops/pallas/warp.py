@@ -53,7 +53,7 @@ def _on_tpu() -> bool:
 
 def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
                 wy1_ref, out_r, out_g, out_b, band, *, num_tiles, band_rows,
-                plane_rows, width, col_band):
+                plane_rows, width, col_band, num_blocks):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
@@ -85,8 +85,11 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             wy1r = wy18[r : r + 1, :]
             if banded:
                 # per-tile column window: x0 is pre-shifted by the window
-                # start (128-aligned, SMEM-prefetched) in _prepare
-                c0 = pl.multiple_of(c0_ref[b, t, base + r], LANES)
+                # start (128-aligned, SMEM-prefetched flat) in _prepare
+                c0 = pl.multiple_of(
+                    c0_ref[(b * num_blocks + t) * num_tiles + base + r],
+                    LANES,
+                )
                 band_r = band[:, pl.ds(c0, col_band)]  # [4K, WB]
             else:
                 band_r = band[:, :]
@@ -122,7 +125,8 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
 
 def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
                 wy1_ref, dr_ref, dg_ref, db_ref, dx_out, dy_out, band, *,
-                num_tiles, band_rows, plane_rows, width, col_band):
+                num_tiles, band_rows, plane_rows, width, col_band,
+                num_blocks):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
@@ -151,7 +155,10 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             wy1r = wy18[r : r + 1, :]
             doutr = [d[r : r + 1, :] for d in d8]      # [1, 128] each
             if banded:
-                c0 = pl.multiple_of(c0_ref[b, t, base + r], LANES)
+                c0 = pl.multiple_of(
+                    c0_ref[(b * num_blocks + t) * num_tiles + base + r],
+                    LANES,
+                )
                 band_r = band[:, pl.ds(c0, col_band)]  # [4K, WB]
             else:
                 band_r = band[:, :]
@@ -311,6 +318,10 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
         x0_t = x0_t - c0s[..., None]                   # window-relative
     else:
         c0s = jnp.zeros((batch, num_blocks, num_tiles), jnp.int32)
+    # scalar-prefetch arrays live in SMEM (~1 MB): keep c0s 1-D — a
+    # trailing dim of NT would be lane-padded to 128 and overflow SMEM
+    # beyond ~batch 36 (observed at b48: 1.7 MB > 1 MB)
+    c0s = c0s.reshape(batch * num_blocks * num_tiles)
 
     shape = dict(
         batch=batch, height=height, width=width, rows=rows,
@@ -405,6 +416,7 @@ def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None):
         plane_rows=shape["plane_rows"],
         width=shape["width"],
         col_band=shape["col_band"],
+        num_blocks=shape["num_blocks"],
     )
     tiles_shape = jax.ShapeDtypeStruct(x0_t.shape, jnp.float32)
     out_r, out_g, out_b = pl.pallas_call(
@@ -447,6 +459,7 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
         plane_rows=shape["plane_rows"],
         width=width,
         col_band=shape["col_band"],
+        num_blocks=shape["num_blocks"],
     )
     tiles_shape = jax.ShapeDtypeStruct(x0_t.shape, jnp.float32)
     dx_t, dy_t = pl.pallas_call(
