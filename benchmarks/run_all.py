@@ -221,6 +221,43 @@ def main():
     report["streaming_epoch_fps"] = round(n / dt, 2)
     report["streaming_epoch_frames"] = n
 
+    # 5b. learning evidence: 300 bf16 train steps on the synthetic scene,
+    # then KITTI depth metrics vs the scene's exact ground truth
+    from unsupervised_pseuso_lidar_tpu.eval.metrics import compute_errors
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
+
+    conv_batches = [
+        {
+            k: jax.device_put(jnp.asarray(v))
+            for k, v in synthetic_triplet_batch(8, height, width, seed=s).items()
+            if k != "groundtruth"
+        }
+        for s in range(10)
+    ]
+    s16 = state16
+    for i in range(300):
+        s16, m16 = step16(s16, conv_batches[i % 10])
+    hard_sync((s16, m16))
+    eval_raw = synthetic_triplet_batch(8, height, width, seed=99)
+
+    @jax.jit
+    def eval_depth(params, stats, img):
+        disps = depth16.apply(
+            {"params": params["depth"], "batch_stats": stats["depth"]},
+            img, train=False,
+        )
+        return disp_to_depth(disps[0][..., 0].astype(jnp.float32))
+
+    pred = eval_depth(s16.params, s16.batch_stats, jnp.asarray(eval_raw["tgt"]))
+    # median-scaled: the standard monocular protocol — learned-pose
+    # self-supervision has a global scale ambiguity (eval/metrics.py)
+    errors = compute_errors(
+        jnp.asarray(eval_raw["groundtruth"]), pred, median_scale=True
+    )
+    report["synthetic_300step_abs_rel"] = round(float(errors["abs_rel"]), 4)
+    report["synthetic_300step_rms_m"] = round(float(errors["rms"]), 3)
+    report["synthetic_300step_d1"] = round(float(errors["d1"]), 4)
+
     # 6. BTS serving model: single-frame depth at the ROS pipeline's input
     # size (352x1216, pseudo-lidar/DepthPipeline.py:43-49); reference target
     # rate is 10 Hz per node (DepthPipeline.py:93).

@@ -224,6 +224,25 @@ class TestMetrics:
         m = compute_errors(gt, pred)
         assert float(m["abs_rel"]) < 1e-6
 
+    def test_median_scale_removes_global_scale(self):
+        # the standard monocular protocol: a prediction off by a constant
+        # factor (learned-pose scale ambiguity) scores perfectly after
+        # median scaling, and badly without it
+        gt = jnp.asarray(np.random.default_rng(1).uniform(5, 50, (2, 8, 8)))
+        pred = gt / 100.0
+        raw = compute_errors(gt, pred)
+        scaled = compute_errors(gt, pred, median_scale=True)
+        assert float(raw["abs_rel"]) > 0.9
+        assert float(scaled["abs_rel"]) < 1e-5
+        assert float(scaled["d1"]) == 1.0
+        # masked pixels must not influence the median
+        gt_sparse = gt.at[:, :, 0].set(0.0)
+        pred_bad_at_invalid = (gt_sparse / 100.0).at[:, :, 0].set(1e6)
+        scaled2 = compute_errors(
+            gt_sparse, pred_bad_at_invalid, median_scale=True
+        )
+        assert float(scaled2["abs_rel"]) < 1e-4
+
 
 class TestToyProblem:
     def test_depth_only_training_converges_toward_gt(self):

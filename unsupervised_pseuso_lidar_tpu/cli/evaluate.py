@@ -21,6 +21,11 @@ def main(argv=None):
     parser.add_argument("--split", default=None, help="override split file")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--max-batches", type=int, default=0)
+    parser.add_argument("--median-scale", action="store_true",
+                        help="median-scale predictions to GT before "
+                        "metrics (the standard monocular/Eigen protocol "
+                        "— self-supervised depth with a learned pose has "
+                        "a global scale ambiguity)")
     args = parser.parse_args(argv)
 
     from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
@@ -34,6 +39,8 @@ def main(argv=None):
     config.action.from_scratch = False
     if args.checkpoint:
         config.action.checkpoint_dir = args.checkpoint
+    if args.median_scale:
+        config.action.eval_median_scale = True
 
     dataset = UnSupKittiDataset(config)
     trainer = Trainer(config, dataset=dataset)

@@ -27,6 +27,7 @@ def compute_errors(
     mask: Optional[jax.Array] = None,
     min_depth: float = 1e-3,
     max_depth: float = 80.0,
+    median_scale: bool = False,
 ) -> Dict[str, jax.Array]:
     """Depth error metrics over valid ground-truth pixels.
 
@@ -37,14 +38,29 @@ def compute_errors(
         LiDAR GT convention).
       min_depth/max_depth: predictions are clipped to this range before
         comparison (standard KITTI eval practice).
+      median_scale: multiply pred by median(gt)/median(pred) over valid
+        pixels before comparison — the standard monocular (Eigen/
+        SfMLearner) protocol. Self-supervised depth trained with a
+        LEARNED pose has a global scale ambiguity (the photometric loss
+        is invariant to jointly scaling depth and translation), so
+        unscaled metrics measure the arbitrary scale, not the structure.
+        Leave False for scale-anchored training (semi_sup_pose).
     Returns:
       dict of scalar jnp metrics (jit-friendly: masked means, no boolean
       indexing).
     """
     gt = gt.astype(jnp.float32)
-    pred = jnp.clip(pred.astype(jnp.float32), min_depth, max_depth)
+    pred = pred.astype(jnp.float32)
     if mask is None:
         mask = gt > 0
+    if median_scale:
+        valid_gt = jnp.where(mask, gt, jnp.nan)
+        valid_pred = jnp.where(mask, pred, jnp.nan)
+        scale = jnp.nanmedian(valid_gt) / jnp.maximum(
+            jnp.nanmedian(valid_pred), 1e-9
+        )
+        pred = pred * scale
+    pred = jnp.clip(pred, min_depth, max_depth)
     mask = mask.astype(jnp.float32)
     n = jnp.maximum(mask.sum(), 1.0)
     safe_gt = jnp.where(mask > 0, gt, 1.0)

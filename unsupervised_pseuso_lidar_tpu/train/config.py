@@ -77,6 +77,7 @@ class ActionConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     semi_sup_pose: bool = False
+    eval_median_scale: bool = False
     loss_mode: str = "mean"
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
@@ -155,6 +156,7 @@ class Config:
                 gamma=float(sched_raw.get("gamma", 0.1)),
             ),
             semi_sup_pose=bool(act_raw.get("semi_sup_pose", False)),
+            eval_median_scale=bool(act_raw.get("eval_median_scale", False)),
             loss_mode=act_raw.get("loss_mode", "mean"),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),

@@ -409,7 +409,8 @@ def make_multi_step(
 
 
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
-                   semi_sup_pose=False, warp_impl="mxu") -> Callable:
+                   semi_sup_pose=False, warp_impl="mxu",
+                   median_scale=False) -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
 
     Parity: /root/reference/trainer.py:315-337 (validate) with the broken
@@ -434,7 +435,12 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
         depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
         metrics = {"loss": reproj + smooth}
         if "groundtruth" in batch:
-            metrics.update(compute_errors(batch["groundtruth"], depth_pred))
+            metrics.update(
+                compute_errors(
+                    batch["groundtruth"], depth_pred,
+                    median_scale=median_scale,
+                )
+            )
         return metrics, depth_pred
 
     return jax.jit(step)
@@ -501,6 +507,7 @@ class Trainer:
             loss_mode=config.action.loss_mode,
             semi_sup_pose=config.action.semi_sup_pose,
             warp_impl=config.action.warp_impl,
+            median_scale=config.action.eval_median_scale,
         )
 
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
