@@ -244,6 +244,34 @@ class TestMetrics:
         assert float(scaled2["abs_rel"]) < 1e-4
 
 
+class TestSlantedScene:
+    def test_slant_zero_matches_legacy_constant_plane(self):
+        a = synthetic_triplet_batch(1, 16, 24, seed=3)
+        b = synthetic_triplet_batch(1, 16, 24, seed=3, slant_deg=0.0)
+        for key in ("tgt", "ref_imgs", "groundtruth"):
+            np.testing.assert_allclose(a[key], b[key], atol=1e-5)
+        assert float(np.ptp(a["groundtruth"])) == 0.0  # constant plane
+
+    def test_slanted_scene_is_geometrically_consistent(self):
+        # the slanted-plane renderer must satisfy the warp equation: warping
+        # ref0 with the GT depth and GT pose reproduces the target almost
+        # exactly, and beats the zero-pose warp by a wide margin
+        from unsupervised_pseuso_lidar_tpu.geometry.warp import inverse_warp
+
+        raw = synthetic_triplet_batch(1, 48, 64, seed=5, slant_deg=10.0)
+        gt = jnp.asarray(raw["groundtruth"])
+        assert float(np.ptp(raw["groundtruth"])) > 1.0  # depth varies
+        tgt = jnp.asarray(raw["tgt"])
+        ref0 = jnp.asarray(raw["ref_imgs"][:, 0])
+        pose = jnp.asarray(raw["oxts"][:, 0])
+        warped = inverse_warp(ref0, gt, pose, jnp.asarray(raw["intrinsics"]))
+        interior = (slice(None), slice(8, -8), slice(8, -8))
+        err_aligned = float(jnp.abs(warped - tgt)[interior].mean())
+        err_identity = float(jnp.abs(ref0 - tgt)[interior].mean())
+        assert err_aligned < 0.01, err_aligned
+        assert err_aligned < err_identity / 5
+
+
 class TestToyProblem:
     def test_depth_only_training_converges_toward_gt(self):
         # The controlled-geometry oracle (SURVEY.md §4 toy problem): with

@@ -39,23 +39,52 @@ def synthetic_triplet_batch(
     depth: float = 10.0,
     tx: float = 0.3,
     focal: float = 100.0,
+    slant_deg: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """One batch of (tgt, refs, intrinsics, oxts, groundtruth).
 
-    The camera translates along +x by -tx (to ref0) and +tx (to ref1); for
-    a fronto-parallel plane at `depth`, ref images are exact pixel shifts
-    of the target by ±focal*tx/depth.
+    The camera translates along +x by -tx (to ref0) and +tx (to ref1).
+    The scene is a textured plane through (0, 0, depth); with
+    slant_deg=0 it is fronto-parallel (ref images are exact pixel shifts
+    of the target by ±focal*tx/depth). With slant_deg != 0 the plane is
+    tilted about the vertical axis (normal (-sin a, 0, cos a)) and all
+    three views are rendered by exact ray-plane intersection, so the
+    ground-truth depth VARIES across the image — tests and benchmarks
+    that median-scale their metrics need this, since on a constant-depth
+    scene any constant prediction median-scales to a perfect score.
     """
     rng = np.random.default_rng(seed)
-    shift = focal * tx / depth
+    cx, cy = width / 2.0, height / 2.0
+    tan_a = float(np.tan(np.radians(slant_deg)))
 
     vv, uu = np.meshgrid(
         np.arange(height, dtype=np.float32),
         np.arange(width, dtype=np.float32),
         indexing="ij",
     )
+    # normalized ray directions (z = 1)
+    dx = (uu - cx) / focal
+    dy = (vv - cy) / focal
+    denom = np.maximum(1.0 - tan_a * dx, 1e-3)  # (n·d)/cos(a)
+
+    def surface_coords(cam_tx: float):
+        """Texture coordinates seen by the camera at translation (cam_tx,0,0).
+
+        lambda = (c - n·t)/(n·d) with c = depth*cos(a):
+        lambda = (depth + tan(a)*cam_tx) / (1 - tan(a)*dx); the plane
+        point is X = t + lambda*d, parameterized into texture pixels as
+        X*focal/depth + principal point (identical to image pixels for
+        the slant-0 target view)."""
+        lam = (depth + tan_a * cam_tx) / denom
+        su = (cam_tx + lam * dx) * focal / depth + cx
+        sv = (lam * dy) * focal / depth + cy
+        return su, sv
+
     tgt = np.zeros((batch_size, height, width, 3), dtype=np.float32)
     refs = np.zeros((batch_size, 2, height, width, 3), dtype=np.float32)
+    (tu, tv), (r0u, r0v), (r1u, r1v) = (
+        surface_coords(0.0), surface_coords(-tx), surface_coords(tx)
+    )
     for b in range(batch_size):
         phases = np.stack(
             [
@@ -66,14 +95,12 @@ def synthetic_triplet_batch(
             ],
             axis=-1,
         )
-        tgt[b] = _texture(uu, vv, phases)
-        # ref observed from camera translated by t: its pixel u sees the
-        # texture at u + fx*t/d relative to the target camera.
-        refs[b, 0] = _texture(uu - shift, vv, phases)  # camera at -tx
-        refs[b, 1] = _texture(uu + shift, vv, phases)  # camera at +tx
+        tgt[b] = _texture(tu, tv, phases)
+        refs[b, 0] = _texture(r0u, r0v, phases)  # camera at -tx
+        refs[b, 1] = _texture(r1u, r1v, phases)  # camera at +tx
 
     k = np.array(
-        [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1]],
+        [[focal, 0, cx], [0, focal, cy], [0, 0, 1]],
         dtype=np.float32,
     )
     intrinsics = np.broadcast_to(k, (batch_size, 3, 3)).copy()
@@ -85,7 +112,10 @@ def synthetic_triplet_batch(
     oxts[:, 0, 3] = tx
     oxts[:, 1, 3] = -tx
 
-    groundtruth = np.full((batch_size, height, width), depth, dtype=np.float32)
+    # target-view depth: Z = lambda (ray dir has z = 1)
+    groundtruth = np.broadcast_to(
+        (depth / denom).astype(np.float32), (batch_size, height, width)
+    ).copy()
 
     return {
         "tgt": tgt,

@@ -44,6 +44,9 @@ def compute_errors(
         LEARNED pose has a global scale ambiguity (the photometric loss
         is invariant to jointly scaling depth and translation), so
         unscaled metrics measure the arbitrary scale, not the structure.
+        Per protocol the ratio is computed PER IMAGE (axis 0 when the
+        input is batched [B, H, W]); images with no valid pixels keep
+        scale 1 (their pixels are masked out of the means anyway).
         Leave False for scale-anchored training (semi_sup_pose).
     Returns:
       dict of scalar jnp metrics (jit-friendly: masked means, no boolean
@@ -56,9 +59,16 @@ def compute_errors(
     if median_scale:
         valid_gt = jnp.where(mask, gt, jnp.nan)
         valid_pred = jnp.where(mask, pred, jnp.nan)
-        scale = jnp.nanmedian(valid_gt) / jnp.maximum(
-            jnp.nanmedian(valid_pred), 1e-9
-        )
+        if gt.ndim >= 3:  # batched: one ratio per image (Eigen protocol)
+            med_axes = tuple(range(1, gt.ndim))
+            expand = (...,) + (None,) * (gt.ndim - 1)
+            med_gt = jnp.nanmedian(valid_gt, axis=med_axes)[expand]
+            med_pred = jnp.nanmedian(valid_pred, axis=med_axes)[expand]
+        else:
+            med_gt = jnp.nanmedian(valid_gt)
+            med_pred = jnp.nanmedian(valid_pred)
+        scale = med_gt / jnp.maximum(med_pred, 1e-9)
+        scale = jnp.where(jnp.isfinite(scale), scale, 1.0)
         pred = pred * scale
     pred = jnp.clip(pred, min_depth, max_depth)
     mask = mask.astype(jnp.float32)
