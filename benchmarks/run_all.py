@@ -221,7 +221,7 @@ def main():
     report["streaming_epoch_fps"] = round(n / dt, 2)
     report["streaming_epoch_frames"] = n
 
-    # 5b. learning evidence: 300 bf16 train steps on SLANTED synthetic
+    # 5b. learning evidence: num_conv_steps (1500) bf16 train steps on SLANTED synthetic
     # scenes (ground-truth depth varies ~6-23 m across the image), then
     # per-image-median-scaled KITTI metrics vs the exact ground truth.
     # Slant matters: on a constant-depth scene any constant prediction

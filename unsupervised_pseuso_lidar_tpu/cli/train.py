@@ -80,7 +80,10 @@ def main(argv=None):
 
     from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
 
-    dataset = UnSupKittiDataset(config)
+    try:
+        dataset = UnSupKittiDataset(config)
+    except FileNotFoundError as e:
+        raise SystemExit(f"error: {e}") from e
     train_idx, val_idx = dataset.train_val_indices(
         seed=config.action.random_seed,
         val_ratio=config.action.split[1],

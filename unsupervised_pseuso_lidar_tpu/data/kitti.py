@@ -95,6 +95,16 @@ class UnSupKittiDataset:
         return self._calib_cache[calib_dir]
 
     def _init_samples(self) -> None:
+        if not os.path.isfile(self.split):
+            raise FileNotFoundError(
+                f"Split file not found: {self.split!r}. Shipped splits live "
+                "in ./splits/ (kitti_mac.txt smoke split, "
+                "kitti_depth_annotated_test_files.txt eval split); generate "
+                "a training split from a KITTI data_depth_annotated "
+                "download with "
+                "unsupervised_pseuso_lidar_tpu.data.splits."
+                "kitti_depth_annotated_prepare."
+            )
         with open(self.split, "r") as f:
             lines = [line.strip() for line in f if line.strip()]
         for line in lines:
@@ -104,7 +114,16 @@ class UnSupKittiDataset:
             tgt, ref0, ref1 = parts[0], parts[1], parts[2]
             gt = parts[3] if len(parts) > 3 else None
             calib_dir = find_calib_dir(tgt)
-            calib = self._calibration(calib_dir)
+            try:
+                calib = self._calibration(calib_dir)
+            except (FileNotFoundError, NotADirectoryError) as e:
+                raise FileNotFoundError(
+                    f"KITTI drive data missing for split {self.split!r}: "
+                    f"no calibration under {calib_dir!r} (first missing "
+                    f"file: {e}). Download the KITTI raw drives referenced "
+                    "by the split (see docs/PARITY_RUNBOOK.md) or pass "
+                    "--synthetic to train without KITTI."
+                ) from e
             self.samples.append(
                 Sample(
                     tgt=tgt,

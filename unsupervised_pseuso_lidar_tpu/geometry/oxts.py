@@ -15,12 +15,53 @@ EARTH_RADIUS_M = 6378137.0
 
 
 class OxtsPacket(NamedTuple):
+    """Full 30-field KITTI OXTS packet (dataformat.txt order).
+
+    Parity: /root/reference/geometry/oxts_parser.py:10-18 — position and
+    attitude, then velocities (vn/ve north/east, vf/vl/vu
+    forward/left/up), accelerations (ax/ay/az body, af/al/au
+    forward/left/up), angular rates (wx..wu), accuracy estimates, and
+    navigation status fields. Pose assembly only consumes the first 6;
+    the remainder is exposed for downstream consumers (e.g. velocity
+    supervision or ego-motion priors)."""
+
     lat: float
     lon: float
     alt: float
     roll: float
     pitch: float
     yaw: float
+    vn: float = 0.0
+    ve: float = 0.0
+    vf: float = 0.0
+    vl: float = 0.0
+    vu: float = 0.0
+    ax: float = 0.0
+    ay: float = 0.0
+    az: float = 0.0
+    af: float = 0.0
+    al: float = 0.0
+    au: float = 0.0
+    wx: float = 0.0
+    wy: float = 0.0
+    wz: float = 0.0
+    wf: float = 0.0
+    wl: float = 0.0
+    wu: float = 0.0
+    pos_accuracy: float = 0.0
+    vel_accuracy: float = 0.0
+    navstat: float = 0.0
+    numsats: float = 0.0
+    posmode: float = 0.0
+    velmode: float = 0.0
+    orimode: float = 0.0
+
+
+class OxtsData(NamedTuple):
+    """Packet + assembled world pose (parity: oxts_parser.py:21)."""
+
+    packet: OxtsPacket
+    T_w_imu: np.ndarray
 
 
 def rotx(t: float) -> np.ndarray:
@@ -57,9 +98,12 @@ def pose_from_oxts_packet(packet: OxtsPacket, scale: float) -> np.ndarray:
 
 
 def parse_oxts_line(line: str) -> OxtsPacket:
-    """Parse one line of a KITTI oxts/data/*.txt file (first 6 fields)."""
-    values = line.split()
-    return OxtsPacket(*(float(v) for v in values[:6]))
+    """Parse one line of a KITTI oxts/data/*.txt file (all 30 fields;
+    short lines are zero-padded past the 6 pose fields)."""
+    values = [float(v) for v in line.split()[:30]]
+    if len(values) < 6:
+        raise ValueError(f"OXTS line has {len(values)} fields, need >= 6")
+    return OxtsPacket(*values)
 
 
 def load_oxts_packets_and_poses(oxts_files: Sequence[str]) -> List[np.ndarray]:
@@ -84,6 +128,26 @@ def load_oxts_packets_and_poses(oxts_files: Sequence[str]) -> List[np.ndarray]:
                     scale = np.cos(packet.lat * np.pi / 180.0)
                 poses.append(pose_from_oxts_packet(packet, scale))
     return poses
+
+
+def load_oxts_data(oxts_files: Sequence[str]) -> List[OxtsData]:
+    """Read OXTS files -> list of (packet, T_w_imu) like the reference's
+    load_oxts_packets_and_poses return shape
+    (/root/reference/geometry/oxts_parser.py:105-139) — full packets for
+    consumers that need velocities/accelerations."""
+    scale = None
+    out: List[OxtsData] = []
+    for filename in oxts_files:
+        with open(filename, "r") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                packet = parse_oxts_line(line)
+                if scale is None:
+                    scale = np.cos(packet.lat * np.pi / 180.0)
+                out.append(OxtsData(packet, pose_from_oxts_packet(packet, scale)))
+    return out
 
 
 def relative_pose_6dof(
