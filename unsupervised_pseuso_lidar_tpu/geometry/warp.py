@@ -50,6 +50,47 @@ def disp_to_depth_ranged(
     return scaled_disp, 1.0 / scaled_disp
 
 
+def warp_coords(
+    depth: jax.Array, transform: jax.Array, intrinsics: jax.Array
+) -> jax.Array:
+    """Target-frame depth + rigid transform -> [B, H, W, 2] normalized
+    sample coordinates (the grid_sample grid): backproject then project —
+    the one geometry chain of the warp, exposed so callers can reuse the
+    coords (e.g. for coverage monitoring) without recomputing it."""
+    cam_points = backproject(depth, intrinsics)  # [B,H,W,3]
+    return project(cam_points, intrinsics, transform)  # [B,H,W,2]
+
+
+def sample_with_impl(
+    img: jax.Array,
+    coords: jax.Array,
+    impl: str = "gather",
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Bilinear-sample `img` at normalized `coords` with the selected
+    implementation (see inverse_warp_from_matrix for the impl contract)."""
+    if impl in ("mxu", "pallas"):
+        if padding_mode != "zeros":
+            raise ValueError(
+                f"impl={impl!r} supports padding_mode='zeros' only"
+            )
+        _, _, width, channels = img.shape
+        if (
+            impl == "pallas"
+            and channels == 3
+            and (8 * width) % 1024 == 0
+        ):
+            from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+                grid_sample_mxu_fused,
+            )
+
+            return grid_sample_mxu_fused(img, coords)
+        return grid_sample_mxu(img, coords)
+    if impl != "gather":
+        raise ValueError(f"Unknown warp impl: {impl}")
+    return grid_sample(img, coords, align_corners=True, padding_mode=padding_mode)
+
+
 def inverse_warp_from_matrix(
     img: jax.Array,
     depth: jax.Array,
@@ -75,28 +116,30 @@ def inverse_warp_from_matrix(
     sources are data frames). 'pallas' falls back to 'mxu' when the shape
     doesn't satisfy the kernel's tiling (W multiple of 128, C == 3).
     """
-    cam_points = backproject(depth, intrinsics)  # [B,H,W,3]
-    coords = project(cam_points, intrinsics, transform)  # [B,H,W,2]
-    if impl in ("mxu", "pallas"):
-        if padding_mode != "zeros":
-            raise ValueError(
-                f"impl={impl!r} supports padding_mode='zeros' only"
-            )
-        _, _, width, channels = img.shape
-        if (
-            impl == "pallas"
-            and channels == 3
-            and (8 * width) % 1024 == 0
-        ):
-            from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
-                grid_sample_mxu_fused,
-            )
+    coords = warp_coords(depth, transform, intrinsics)
+    return sample_with_impl(img, coords, impl=impl, padding_mode=padding_mode)
 
-            return grid_sample_mxu_fused(img, coords)
-        return grid_sample_mxu(img, coords)
-    if impl != "gather":
-        raise ValueError(f"Unknown warp impl: {impl}")
-    return grid_sample(img, coords, align_corners=True, padding_mode=padding_mode)
+
+def coverage_from_coords(
+    coords: jax.Array,
+    band_pad: int = 12,
+    rows_per_block: int = 8,
+    include_col: bool = True,
+):
+    """Banded-kernel approximation coverage from already-computed coords.
+
+    The free-of-charge variant of `warp_coverage`: the loss stack computes
+    `coords` for every (direction, pair, scale) warp job anyway; feeding
+    the SAME stacked coords here monitors every transform of the step
+    (t0, t1, and the inverted backward pose — not just a ref0-forward
+    proxy) without re-running the backproject/project chain."""
+    from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage
+    from unsupervised_pseuso_lidar_tpu.ops.resample import band_coverage
+
+    out = {"band_coverage": band_coverage(coords, band_pad, rows_per_block)}
+    if include_col:
+        out["col_coverage"] = col_coverage(coords, None, rows_per_block)
+    return jax.lax.stop_gradient(out)
 
 
 def warp_coverage(
@@ -117,15 +160,8 @@ def warp_coverage(
     metrics whenever a banded warp_impl is active."""
     if intrinsics.ndim == 2:
         intrinsics = intrinsics[None]
-    cam_points = backproject(depth, intrinsics)
-    coords = project(cam_points, intrinsics, transform)
-    from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage
-    from unsupervised_pseuso_lidar_tpu.ops.resample import band_coverage
-
-    return {
-        "band_coverage": band_coverage(coords, band_pad, rows_per_block),
-        "col_coverage": col_coverage(coords, None, rows_per_block),
-    }
+    coords = warp_coords(depth, transform, intrinsics)
+    return coverage_from_coords(coords, band_pad, rows_per_block)
 
 
 def inverse_warp(

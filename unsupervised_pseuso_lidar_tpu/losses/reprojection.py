@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from unsupervised_pseuso_lidar_tpu.geometry.se3 import invert_pose, pose_matrix
-from unsupervised_pseuso_lidar_tpu.geometry.warp import inverse_warp_from_matrix
+from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+    coverage_from_coords,
+    sample_with_impl,
+    warp_coords,
+)
 from unsupervised_pseuso_lidar_tpu.losses.photometric import photometric_loss
 from unsupervised_pseuso_lidar_tpu.ops.resample import resize_bilinear
 
@@ -49,7 +53,8 @@ def reprojection_loss(
     intrinsics: jax.Array,
     mode: str = "mean",
     warp_impl: str = "gather",
-) -> jax.Array:
+    with_coverage: bool = False,
+):
     """Bidirectional multi-scale reprojection loss.
 
     Args:
@@ -66,8 +71,12 @@ def reprojection_loss(
         (the latent SSIM-blend path, losses.py:76-77 made functional).
       warp_impl: 'gather' (exact) or 'mxu' (band-matmul warp on the
         systolic array, ~6x faster — geometry.warp.inverse_warp_from_matrix).
+      with_coverage: also return the banded-kernel coverage metrics
+        computed from the SAME stacked coords as the warp (covers every
+        transform of the step: t0, t1, inverted backward — zero extra
+        geometry work, stop-gradient'd).
     Returns:
-      scalar loss.
+      scalar loss, or (loss, coverage_dict) when with_coverage.
 
     Reduction structure (parity with losses.py:189-240): per scale s the
     forward direction contributes mean(L1(w0s), L1(w1s)) and the backward
@@ -121,8 +130,12 @@ def reprojection_loss(
         intrinsics = intrinsics[None]
     k_tiled = jnp.tile(intrinsics, (jobs, 1, 1))
 
-    warped = inverse_warp_from_matrix(
-        src, depth, transform, k_tiled, impl=warp_impl
+    coords = warp_coords(depth, transform, k_tiled)
+    warped = sample_with_impl(src, coords, impl=warp_impl)
+    coverage = (
+        coverage_from_coords(coords, include_col=(warp_impl == "pallas"))
+        if with_coverage
+        else None
     )
 
     if mode in ("mean", "l1"):
@@ -135,7 +148,10 @@ def reprojection_loss(
         raise ValueError(f"Unsupported reprojection mode: {mode}")
 
     per_job = jnp.mean(err.reshape(jobs, batch, -1), axis=(1, 2))
-    return jnp.sum(per_job * jnp.asarray(weights, dtype=per_job.dtype))
+    loss = jnp.sum(per_job * jnp.asarray(weights, dtype=per_job.dtype))
+    if with_coverage:
+        return loss, coverage
+    return loss
 
 
 def min_reprojection_loss(
@@ -147,7 +163,8 @@ def min_reprojection_loss(
     automask: bool = True,
     no_ssim: bool = False,
     warp_impl: str = "gather",
-) -> jax.Array:
+    with_coverage: bool = False,
+):
     """monodepth2-style per-pixel-min reprojection with binary automasking.
 
     The reference scaffolds this (elementwise minimum + identity-loss
@@ -167,12 +184,19 @@ def min_reprojection_loss(
     transform = jnp.concatenate([t0, t1], axis=0)
 
     total = jnp.asarray(0.0, dtype=tgt.dtype)
+    coverages = []
     for scale_depth in depths:
         depth_full = _full_res_depth(scale_depth, height, width)
-        warped = inverse_warp_from_matrix(
-            src, jnp.tile(depth_full, (2, 1, 1)), transform, k_tiled,
-            impl=warp_impl,
+        coords = warp_coords(
+            jnp.tile(depth_full, (2, 1, 1)), transform, k_tiled
         )
+        warped = sample_with_impl(src, coords, impl=warp_impl)
+        if with_coverage:
+            coverages.append(
+                coverage_from_coords(
+                    coords, include_col=(warp_impl == "pallas")
+                )
+            )
         err = photometric_loss(
             warped,
             jnp.tile(tgt, (2, 1, 1, 1)),
@@ -193,4 +217,11 @@ def min_reprojection_loss(
             mask = (err < ident).astype(err.dtype)
             err = err * mask
         total = total + jnp.mean(err)
-    return total / len(depths)
+    loss = total / len(depths)
+    if with_coverage:
+        coverage = {
+            k: jnp.mean(jnp.stack([c[k] for c in coverages]))
+            for k in coverages[0]
+        }
+        return loss, coverage
+    return loss

@@ -29,8 +29,12 @@ def total_loss(
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
     warp_impl: str = "gather",
-) -> Tuple[jax.Array, jax.Array]:
-    """Compute (reprojection_loss, smoothness_loss).
+    with_coverage: bool = False,
+):
+    """Compute (reprojection_loss, smoothness_loss)
+    — or (reprojection_loss, smoothness_loss, coverage_dict) when
+    with_coverage (banded-warp health metrics computed from the loss's own
+    warp coords; covers every transform of the step at zero geometry cost).
 
     Args:
       tgt: [B, H, W, 3] target frame.
@@ -58,19 +62,25 @@ def total_loss(
         )
 
         loss_reproj = min_reprojection_loss(
-            tgt, refs, depths[0], poses, intrinsics, warp_impl=warp_impl
+            tgt, refs, depths[0], poses, intrinsics, warp_impl=warp_impl,
+            with_coverage=with_coverage,
         )
     else:
         loss_reproj = reprojection_loss(
             tgt, refs, depths, poses, intrinsics, mode=mode,
-            warp_impl=warp_impl,
+            warp_impl=warp_impl, with_coverage=with_coverage,
         )
+    coverage = None
+    if with_coverage:
+        loss_reproj, coverage = loss_reproj
     if smooth_on == "depth":
         loss_smooth = smooth_loss(depths[0], decay=smooth_decay)
     elif smooth_on == "disp":
         loss_smooth = smooth_loss(disparities[0], decay=smooth_decay)
     else:
         raise ValueError(f"smooth_on must be 'depth' or 'disp', got {smooth_on}")
+    if with_coverage:
+        return loss_reproj, smooth_weight * loss_smooth, coverage
     return loss_reproj, smooth_weight * loss_smooth
 
 

@@ -516,7 +516,12 @@ def col_coverage(
     tap1_ok = ((x0 + 1 >= 0) & (x0 + 1 <= wb - 1)) | (x0_abs + 1 < 0) | (
         x0_abs + 1 > width - 1
     )
-    ok = jnp.where(valid, tap0_ok & tap1_ok, True)
+    # normalize by the in-image count (out-of-image taps read zero in the
+    # full-width kernel too — neither covered nor dropped)
+    ok = (tap0_ok & tap1_ok) & valid
     # only the first `height` output rows are real
     ok = ok.reshape(batch, num_blocks * rows, width)[:, :height]
-    return jnp.mean(ok.astype(jnp.float32))
+    valid_rows = valid.reshape(batch, num_blocks * rows, width)[:, :height]
+    return jnp.sum(ok.astype(jnp.float32)) / jnp.maximum(
+        jnp.sum(valid_rows.astype(jnp.float32)), 1.0
+    )

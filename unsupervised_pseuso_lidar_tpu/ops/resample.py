@@ -326,10 +326,12 @@ def band_coverage(
     center_rows = jnp.repeat(
         centers.astype(jnp.float32), rows_per_block, axis=1
     )[..., None]
-    in_image = (y >= -1.0) & (y <= height)
-    in_band = jnp.abs(dy - center_rows) <= (band_pad - 1)
-    ok = jnp.where(in_image, in_band, True)[:, :height]
-    return jnp.mean(ok.astype(jnp.float32))
+    in_image = ((y >= -1.0) & (y <= height))[:, :height]
+    in_band = (jnp.abs(dy - center_rows) <= (band_pad - 1))[:, :height]
+    # normalize by the in-image count: out-of-image taps read zero in the
+    # exact kernel too, so they are neither covered nor dropped
+    covered = jnp.sum((in_band & in_image).astype(jnp.float32))
+    return covered / jnp.maximum(jnp.sum(in_image.astype(jnp.float32)), 1.0)
 
 
 def _interp_matrix(out_size: int, in_size: int, align_corners: bool):

@@ -265,7 +265,14 @@ def make_train_step(
         disps_tgt, disps_ref0, poses = (
             to_f32(disps_tgt), to_f32(disps_ref0), to_f32(poses)
         )
-        reproj, smooth = total_loss(
+        # banded-warp health metrics ride along for free: the loss reuses
+        # its own warp coords for coverage over EVERY transform of the
+        # step (t0, t1, inverted backward; all scales) — one
+        # backproject/project chain per warp job in the HLO, none extra.
+        # A sustained drop below 1.0 means out-of-band taps are reading
+        # zero and biasing the loss — widen band_pad / disable banding.
+        want_coverage = warp_impl in ("mxu", "pallas")
+        result = total_loss(
             batch["tgt"],
             [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
             [disps_tgt, disps_ref0],
@@ -275,31 +282,14 @@ def make_train_step(
             smooth_weight=smooth_weight,
             smooth_on=smooth_on,
             warp_impl=warp_impl,
+            with_coverage=want_coverage,
         )
+        if want_coverage:
+            reproj, smooth, extra = result
+        else:
+            reproj, smooth = result
+            extra = {}
         loss = reproj + smooth
-        extra: Dict[str, jax.Array] = {}
-        if warp_impl in ("mxu", "pallas"):
-            # banded-warp health: fraction of photometric taps inside the
-            # vertical/horizontal approximation windows (1.0 = exact); a
-            # sustained drop means out-of-band taps are reading zero and
-            # biasing the loss — widen band_pad / disable col banding.
-            from unsupervised_pseuso_lidar_tpu.geometry.se3 import (
-                pose_matrix,
-            )
-            from unsupervised_pseuso_lidar_tpu.geometry.warp import (
-                disp_to_depth,
-                warp_coverage,
-            )
-
-            extra = jax.lax.stop_gradient(
-                warp_coverage(
-                    disp_to_depth(disps_tgt[0][..., 0]),
-                    pose_matrix(poses[:, 0]),
-                    batch["intrinsics"],
-                )
-            )
-            if warp_impl != "pallas":  # column banding is pallas-only
-                extra.pop("col_coverage")
         return loss, (reproj, smooth, new_stats, extra)
 
     maybe_remat_loss = jax.checkpoint(loss_fn) if remat else loss_fn
