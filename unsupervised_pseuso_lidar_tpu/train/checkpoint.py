@@ -315,6 +315,31 @@ def _get_path(tree: Any, path: str) -> Any:
     return node
 
 
+def _to_numpy_state(torch_state: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """torch tensors / numpy -> numpy, with DataParallel prefix stripped."""
+    return _strip_module_prefix(
+        {
+            k: np.asarray(getattr(v, "numpy", lambda: v)())
+            for k, v in torch_state.items()
+        }
+    )
+
+
+def _to_plain_trees(flax_params: Any, flax_batch_stats: Any) -> Tuple[Any, Any]:
+    params = jax.tree.map(np.asarray, jax.device_get(flax_params))
+    batch_stats = jax.tree.map(np.asarray, jax.device_get(flax_batch_stats))
+
+    def to_plain(d):
+        if hasattr(d, "unfreeze"):
+            d = d.unfreeze()
+        return {
+            k: to_plain(v) if isinstance(v, dict) else v
+            for k, v in dict(d).items()
+        }
+
+    return to_plain(params), to_plain(batch_stats)
+
+
 def import_torch_state(
     flax_params: Any,
     flax_batch_stats: Any,
@@ -329,21 +354,17 @@ def import_torch_state(
     if model_name not in MODEL_MAPPINGS:
         raise KeyError(f"No torch mapping for model '{model_name}'")
     mapping = MODEL_MAPPINGS[model_name]()
-    torch_state = _strip_module_prefix(
-        {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in torch_state.items()}
-    )
+    torch_state = _to_numpy_state(torch_state)
+    params, batch_stats = _to_plain_trees(flax_params, flax_batch_stats)
+    return _apply_mapping(params, batch_stats, torch_state, mapping)
 
-    params = jax.tree.map(np.asarray, jax.device_get(flax_params))
-    batch_stats = jax.tree.map(np.asarray, jax.device_get(flax_batch_stats))
 
-    def to_plain(d):
-        if hasattr(d, "unfreeze"):
-            d = d.unfreeze()
-        return {k: to_plain(v) if isinstance(v, dict) else v for k, v in dict(d).items()}
-
-    params = to_plain(params)
-    batch_stats = to_plain(batch_stats)
-
+def _apply_mapping(
+    params: Any,
+    batch_stats: Any,
+    torch_state: Dict[str, np.ndarray],
+    mapping: Dict[str, Tuple[str, str]],
+) -> Tuple[Any, Any]:
     for flax_path, (torch_prefix, kind) in mapping.items():
         if kind == "conv":
             weight = _t2f_conv(torch_state[f"{torch_prefix}.weight"])
@@ -401,6 +422,85 @@ def import_torch_state(
         else:
             raise ValueError(kind)
     return params, batch_stats
+
+
+# ---------------------------------------------------------------------------
+# pretrained depth-encoder initialization (config: model.depth.pretrained_path)
+# ---------------------------------------------------------------------------
+
+
+def _encoder_only_mapping() -> Dict[str, Tuple[str, str]]:
+    """DispResNet mapping restricted to the ResNet encoder."""
+    return {
+        k: v
+        for k, v in _dispresnet_mapping().items()
+        if k.startswith("ResnetEncoder_0")
+    }
+
+
+def normalize_depth_pretrained_state(
+    torch_state: Dict[str, Any],
+) -> Tuple[Dict[str, np.ndarray], bool]:
+    """Normalize any supported pretrained-depth blob to the reference
+    DispResNet state-dict schema.
+
+    Accepts (the reference trains from ResnetEncoder(18, pretrained=True),
+    /root/reference/models/depth/resnet_dispnet.py:30):
+      * a full reference checkpoint dict ({epoch, dpth_mdl_state_dict, ...},
+        /root/reference/trainer.py:132-137) — uses dpth_mdl_state_dict;
+      * a DispResNet state dict (encoder.encoder.* + decoder.decoder.*);
+      * a raw torchvision resnet18 state dict (conv1.weight, layer1.* ...,
+        i.e. torch.hub's ImageNet weights) — encoder-only.
+    Returns (state in DispResNet schema, encoder_only).
+    """
+    if "dpth_mdl_state_dict" in torch_state:
+        torch_state = torch_state["dpth_mdl_state_dict"]
+    state = _to_numpy_state(dict(torch_state))
+    if any(k.startswith("encoder.") for k in state):
+        return state, False
+    if "conv1.weight" in state and "layer1.0.conv1.weight" in state:
+        return (
+            {
+                f"encoder.encoder.{k}": v
+                for k, v in state.items()
+                if not k.startswith("fc.")  # classifier head: no counterpart
+            },
+            True,
+        )
+    raise KeyError(
+        "Unrecognized pretrained depth state dict: expected a reference "
+        "checkpoint (dpth_mdl_state_dict), a DispResNet state dict "
+        "(encoder.encoder.*), or a torchvision resnet state dict "
+        "(conv1.weight / layer1.*)"
+    )
+
+
+def import_pretrained_depth(
+    flax_params: Any,
+    flax_batch_stats: Any,
+    torch_state: Dict[str, Any],
+) -> Tuple[Any, Any]:
+    """Initialize DispResNet variables from a pretrained torch blob.
+
+    Encoder-only blobs (ImageNet torchvision weights) leave the decoder at
+    its random init — exactly the reference's training-from-ImageNet setup.
+    """
+    state, encoder_only = normalize_depth_pretrained_state(torch_state)
+    mapping = _encoder_only_mapping() if encoder_only else _dispresnet_mapping()
+    params, batch_stats = _to_plain_trees(flax_params, flax_batch_stats)
+    return _apply_mapping(params, batch_stats, state, mapping)
+
+
+def load_pretrained_depth(
+    flax_params: Any, flax_batch_stats: Any, path: str
+) -> Tuple[Any, Any]:
+    """Load + import a pretrained depth init from disk (.pth via torch,
+    .npz via numpy for torch-free environments)."""
+    if path.endswith(".npz"):
+        blob: Dict[str, Any] = dict(np.load(path))
+    else:
+        blob = load_torch_checkpoint(path)
+    return import_pretrained_depth(flax_params, flax_batch_stats, blob)
 
 
 def export_torch_state(

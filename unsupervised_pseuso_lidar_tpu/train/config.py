@@ -21,6 +21,11 @@ import yaml
 class ModelHead:
     name: str = "DispResNet"
     kwargs: Dict[str, Any] = field(default_factory=dict)
+    # Path to a pretrained torch init (.pth or .npz): a torchvision
+    # resnet18 ImageNet state dict (encoder-only, the reference's
+    # ResnetEncoder(18, pretrained=True) setup), a DispResNet state dict,
+    # or a full reference checkpoint. '' = random init.
+    pretrained_path: str = ""
 
 
 @dataclass
@@ -110,9 +115,15 @@ class Config:
         model = ModelConfig(
             name=model_raw.get("name", "model"),
             depth=ModelHead(
-                name=depth_raw.pop("name", "DispResNet"), kwargs=depth_raw
+                name=depth_raw.pop("name", "DispResNet"),
+                pretrained_path=depth_raw.pop("pretrained_path", ""),
+                kwargs=depth_raw,
             ),
-            pose=ModelHead(name=pose_raw.pop("name", "PoseNet"), kwargs=pose_raw),
+            pose=ModelHead(
+                name=pose_raw.pop("name", "PoseNet"),
+                pretrained_path=pose_raw.pop("pretrained_path", ""),
+                kwargs=pose_raw,
+            ),
         )
 
         ds_raw = dict(raw.get("datasets", {}))

@@ -118,6 +118,21 @@ def create_train_state(
         "depth": depth_vars.get("batch_stats", FrozenDict()),
         "pose": pose_vars.get("batch_stats", FrozenDict()),
     }
+    if config.model.depth.pretrained_path:
+        # pretrained init (the reference's model of record starts from an
+        # ImageNet-pretrained encoder, ResnetEncoder(18, True),
+        # /root/reference/models/depth/resnet_dispnet.py:30,100)
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            load_pretrained_depth,
+        )
+
+        depth_params, depth_stats = load_pretrained_depth(
+            params["depth"],
+            batch_stats["depth"],
+            config.model.depth.pretrained_path,
+        )
+        params["depth"] = jax.tree.map(jnp.asarray, depth_params)
+        batch_stats["depth"] = jax.tree.map(jnp.asarray, depth_stats)
     tx = make_optimizer(config, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
