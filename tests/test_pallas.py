@@ -3,6 +3,7 @@ implementations."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from unsupervised_pseuso_lidar_tpu.ops.pallas.photometric import (
     photometric_map_pallas,
@@ -151,9 +152,12 @@ class TestFusedWarp:
         b = inverse_warp_from_matrix(img, depth, transform, k, impl="mxu")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
-    def test_sharded_step_downgrades_pallas(self):
-        # make_train_step(mesh=...) silently downgrades 'pallas' -> 'mxu'
-        # (pallas_call does not partition under GSPMD); the step must run
+    @pytest.mark.slow
+    def test_sharded_step_keeps_pallas(self):
+        # The fused Pallas warp runs UNDER the mesh via shard_map over
+        # "data" (pallas_call does not partition under GSPMD; batch rows
+        # are independent so the sharding is exact). The sharded step's
+        # loss must match the single-device pallas step on the same batch.
         import jax
 
         if jax.device_count() < 2:
@@ -180,10 +184,22 @@ class TestFusedWarp:
         })
         mesh = make_mesh(jax.device_count())
         state, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
-        state = shard_train_state(mesh, state)
-        step = make_train_step(dm, pm, tx, warp_impl="pallas", mesh=mesh)
         raw = synthetic_triplet_batch(8, 32, 128, seed=0)
-        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in raw.items()
-                                   if k != "groundtruth"})
-        state, metrics = step(state, batch)
+        host_batch = {k: jnp.asarray(v) for k, v in raw.items()
+                      if k != "groundtruth"}
+
+        single = make_train_step(dm, pm, tx, warp_impl="pallas", donate=False)
+        _, metrics_single = single(state, host_batch)
+
+        sharded_state = shard_train_state(mesh, state)
+        step = make_train_step(dm, pm, tx, warp_impl="pallas", mesh=mesh,
+                               donate=False)
+        batch = shard_batch(mesh, host_batch)
+        new_state, metrics = step(sharded_state, batch)
         assert np.isfinite(float(metrics["loss"]))
+        # col_coverage only exists on the pallas path (mxu drops it)
+        assert "col_coverage" in metrics
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(metrics_single["loss"]),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -72,6 +72,7 @@ class TestConfig:
             _small_config(action={"batch_size": 0})
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_loss_decreases_on_synthetic_scene(self):
         config = _small_config()
@@ -137,6 +138,7 @@ class TestTrainStep:
             assert np.isfinite(float(metrics[key])), key
 
 
+@pytest.mark.slow
 class TestMultiChip:
     def test_sharded_train_step_8_devices(self):
         assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
@@ -180,6 +182,7 @@ class TestMultiChip:
         )
 
 
+@pytest.mark.slow
 class TestTrainerLoop:
     def test_fit_epoch_and_checkpoint(self, tmp_path):
         config = _small_config()
@@ -243,6 +246,41 @@ class TestMetrics:
         )
         assert float(scaled2["abs_rel"]) < 1e-4
 
+    def test_eigen_protocol_crops_and_scales(self):
+        # eval_protocol='eigen' (VERDICT r1 task 5): Garg crop excludes
+        # the sky rows, caps at 80 m, median-scales per image
+        from unsupervised_pseuso_lidar_tpu.eval.metrics import eigen_crop_mask
+        from unsupervised_pseuso_lidar_tpu.train.trainer import make_eval_step
+
+        h, w = 40, 64
+        crop = np.asarray(eigen_crop_mask(h, w))
+        # crop removes the top ~40% (sky) and the side margins
+        assert not crop[: int(0.40 * h)].any()
+        assert crop[int(0.45 * h) : int(0.95 * h), w // 2].all()
+        assert not crop[:, 0].any() and not crop[:, -1].any()
+
+        rng = np.random.default_rng(5)
+        gt = jnp.asarray(rng.uniform(5, 50, (2, h, w)))
+        pred = gt / 100.0  # global-scale-ambiguous prediction
+        # corrupt pred ONLY outside the crop: protocol metrics must ignore it
+        pred_bad = np.array(pred)
+        pred_bad[:, : int(0.40 * h)] = 1e6
+        mask = jnp.broadcast_to(crop, gt.shape) & (gt > 1e-3) & (gt < 80.0)
+        m = compute_errors(gt, jnp.asarray(pred_bad), mask=mask, median_scale=True)
+        assert float(m["abs_rel"]) < 1e-5
+        assert float(m["d1"]) == 1.0
+
+        # the trainer wiring: config.action.eval_protocol flows through
+        config = _small_config()
+        config.action.eval_protocol = "eigen"
+        state, dm, pm, _tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        step = make_eval_step(dm, pm, eval_protocol="eigen")
+        raw = synthetic_triplet_batch(2, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        metrics, _depth = step(state, batch)
+        assert np.isfinite(float(metrics["abs_rel"]))
+        assert np.isfinite(float(metrics["loss"]))
+
 
 class TestSlantedScene:
     def test_slant_zero_matches_legacy_constant_plane(self):
@@ -272,6 +310,7 @@ class TestSlantedScene:
         assert err_aligned < err_identity / 5
 
 
+@pytest.mark.slow
 class TestToyProblem:
     def test_depth_only_training_converges_toward_gt(self):
         # The controlled-geometry oracle (SURVEY.md §4 toy problem): with
@@ -285,6 +324,7 @@ class TestToyProblem:
         assert errors[-1] < errors[0], errors
 
 
+@pytest.mark.slow
 class TestSpatialSharding:
     def test_2d_mesh_data_spatial(self):
         # ("data", "spatial") mesh: batch over data, image H over spatial;
@@ -305,6 +345,7 @@ class TestSpatialSharding:
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 class TestAccumAndRemat:
     def test_grad_accumulation_matches_full_batch(self):
         # accum over 2 micro-batches ~ one step on the full batch (BN stats
@@ -343,6 +384,7 @@ def test_distributed_initialize_noop_without_env(monkeypatch):
     assert initialize() is False
 
 
+@pytest.mark.slow
 class TestAugmentation:
     def test_color_jitter_is_triplet_consistent(self):
         from unsupervised_pseuso_lidar_tpu.data.augment import color_jitter
@@ -404,6 +446,7 @@ class TestAugmentation:
         assert len({round(l, 6) for l in losses}) > 1
 
 
+@pytest.mark.slow
 class TestLossModesAndKwargs:
     def test_min_mode_trains(self):
         config = _small_config()
@@ -432,6 +475,7 @@ class TestLossModesAndKwargs:
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 class TestMultiStep:
     def test_multi_step_matches_sequential(self):
         from unsupervised_pseuso_lidar_tpu.train.trainer import make_multi_step
@@ -462,3 +506,83 @@ class TestMultiStep:
         # agree to float32 tolerance
         for l1, l2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+class TestMultiStepMesh:
+    def test_multi_step_mesh_matches_sequential_sharded(self):
+        # VERDICT r1 task 4: make_multi_step(mesh) == sequential sharded
+        # steps — the production scan driver scales out.
+        from unsupervised_pseuso_lidar_tpu.train.trainer import make_multi_step
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        config = _small_config()
+        config.action.batch_size = 8
+        raws = [synthetic_triplet_batch(8, 64, 96, seed=i) for i in range(2)]
+        batches = [
+            {k: jnp.asarray(v) for k, v in r.items() if k != "groundtruth"}
+            for r in raws
+        ]
+        stacked = {
+            k: jnp.stack([b[k] for b in batches]) for k in batches[0]
+        }
+
+        s1, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        s1 = shard_train_state(mesh, s1)
+        step = make_train_step(dm, pm, tx, mesh=mesh, donate=False)
+        for b in batches:
+            s1, m1 = step(s1, shard_batch(mesh, b))
+
+        s2, dm2, pm2, tx2 = create_train_state(config, jax.random.PRNGKey(0), 10)
+        s2 = shard_train_state(mesh, s2)
+        multi = make_multi_step(dm2, pm2, tx2, num_steps=2, mesh=mesh,
+                                donate=False)
+        # [num_steps, B, ...]: the batch dim (axis 1) carries the "data"
+        # sharding; shard_batch's batch_sharding targets axis 0, so place
+        # explicitly here
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked = {
+            k: jax.device_put(
+                v, NamedSharding(mesh, P(None, "data"))
+            )
+            for k, v in stacked.items()
+        }
+        s2, m2 = multi(s2, stacked)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        assert int(s1.step) == int(s2.step) == 2
+        for l1, l2 in zip(jax.tree.leaves(s1.params),
+                          jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=2e-4)
+        # outputs stay replicated (ready for the next scan launch)
+        leaf = jax.tree.leaves(s2.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+class TestShardedValidate:
+    def test_validate_uses_mesh_placement(self, tmp_path):
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(8)
+        config = _small_config()
+        config.action.batch_size = 8
+        config.action.checkpoint_dir = str(tmp_path)
+        from unsupervised_pseuso_lidar_tpu.train.trainer import Trainer
+
+        trainer = Trainer(config, mesh=mesh)
+        raw = synthetic_triplet_batch(8, 64, 96, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        assert "groundtruth" in batch
+        metrics = trainer.validate([batch])
+        assert np.isfinite(metrics["loss"])
+        assert "abs_rel" in metrics
+
+        # parity with an unsharded trainer on the same batch + same init
+        trainer2 = Trainer(config, mesh=None)
+        metrics2 = trainer2.validate([batch])
+        np.testing.assert_allclose(metrics["loss"], metrics2["loss"],
+                                   rtol=2e-4)
+        np.testing.assert_allclose(metrics["abs_rel"], metrics2["abs_rel"],
+                                   rtol=2e-4, atol=1e-6)

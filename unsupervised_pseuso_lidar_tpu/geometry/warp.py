@@ -66,15 +66,22 @@ def sample_with_impl(
     coords: jax.Array,
     impl: str = "gather",
     padding_mode: str = "zeros",
+    mesh=None,
 ) -> jax.Array:
     """Bilinear-sample `img` at normalized `coords` with the selected
-    implementation (see inverse_warp_from_matrix for the impl contract)."""
+    implementation (see inverse_warp_from_matrix for the impl contract).
+
+    mesh: when the caller runs under a jax.sharding.Mesh, pass it so the
+    Pallas kernel is wrapped in shard_map over the "data" axis —
+    pallas_call does not partition under GSPMD, but the kernel's grid is
+    per-batch-row so batch-dim sharding is exact: each shard runs the
+    kernel on its local rows and no collective is needed."""
     if impl in ("mxu", "pallas"):
         if padding_mode != "zeros":
             raise ValueError(
                 f"impl={impl!r} supports padding_mode='zeros' only"
             )
-        _, _, width, channels = img.shape
+        batch, _, width, channels = img.shape
         if (
             impl == "pallas"
             and channels == 3
@@ -84,6 +91,26 @@ def sample_with_impl(
                 grid_sample_mxu_fused,
             )
 
+            if (
+                mesh is not None
+                and "data" in mesh.axis_names
+                and mesh.shape["data"] > 1
+                and batch % mesh.shape["data"] == 0
+            ):
+                from jax.sharding import PartitionSpec as P
+
+                spec = P("data")
+                sharded = jax.shard_map(
+                    grid_sample_mxu_fused,
+                    mesh=mesh,
+                    in_specs=(spec, spec),
+                    out_specs=spec,
+                    # pallas_call out_shapes carry no vma info; the kernel
+                    # is per-batch-row so data-axis variance is trivially
+                    # correct — skip the varying-mesh-axes check
+                    check_vma=False,
+                )
+                return sharded(img, coords)
             return grid_sample_mxu_fused(img, coords)
         return grid_sample_mxu(img, coords)
     if impl != "gather":

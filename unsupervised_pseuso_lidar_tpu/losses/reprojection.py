@@ -54,6 +54,7 @@ def reprojection_loss(
     mode: str = "mean",
     warp_impl: str = "gather",
     with_coverage: bool = False,
+    mesh=None,
 ):
     """Bidirectional multi-scale reprojection loss.
 
@@ -131,7 +132,7 @@ def reprojection_loss(
     k_tiled = jnp.tile(intrinsics, (jobs, 1, 1))
 
     coords = warp_coords(depth, transform, k_tiled)
-    warped = sample_with_impl(src, coords, impl=warp_impl)
+    warped = sample_with_impl(src, coords, impl=warp_impl, mesh=mesh)
     coverage = (
         coverage_from_coords(coords, include_col=(warp_impl == "pallas"))
         if with_coverage
@@ -164,6 +165,7 @@ def min_reprojection_loss(
     no_ssim: bool = False,
     warp_impl: str = "gather",
     with_coverage: bool = False,
+    mesh=None,
 ):
     """monodepth2-style per-pixel-min reprojection with binary automasking.
 
@@ -190,7 +192,7 @@ def min_reprojection_loss(
         coords = warp_coords(
             jnp.tile(depth_full, (2, 1, 1)), transform, k_tiled
         )
-        warped = sample_with_impl(src, coords, impl=warp_impl)
+        warped = sample_with_impl(src, coords, impl=warp_impl, mesh=mesh)
         if with_coverage:
             coverages.append(
                 coverage_from_coords(

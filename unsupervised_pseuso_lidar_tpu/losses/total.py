@@ -30,6 +30,7 @@ def total_loss(
     smooth_on: str = "depth",
     warp_impl: str = "gather",
     with_coverage: bool = False,
+    mesh=None,
 ):
     """Compute (reprojection_loss, smoothness_loss)
     — or (reprojection_loss, smoothness_loss, coverage_dict) when
@@ -63,12 +64,12 @@ def total_loss(
 
         loss_reproj = min_reprojection_loss(
             tgt, refs, depths[0], poses, intrinsics, warp_impl=warp_impl,
-            with_coverage=with_coverage,
+            with_coverage=with_coverage, mesh=mesh,
         )
     else:
         loss_reproj = reprojection_loss(
             tgt, refs, depths, poses, intrinsics, mode=mode,
-            warp_impl=warp_impl, with_coverage=with_coverage,
+            warp_impl=warp_impl, with_coverage=with_coverage, mesh=mesh,
         )
     coverage = None
     if with_coverage:

@@ -221,7 +221,7 @@ def normalize_uint8_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     return dict(batch, tgt=norm(batch["tgt"]), ref_imgs=norm(batch["ref_imgs"]))
 
 
-def make_train_step(
+def make_train_step_body(
     depth_model,
     pose_model,
     tx: optax.GradientTransformation,
@@ -236,28 +236,11 @@ def make_train_step(
     hflip: bool = False,
     aug_seed: int = 0,
     mesh=None,
-    donate: bool = True,
 ) -> Callable:
-    """Build the jitted train step (optionally sharded over a mesh).
-
-    Returns step(state, batch) -> (state, metrics) where metrics carries
-    {loss, mul_app_loss, smoothness_loss} — the reference's wandb metric
-    names (/root/reference/trainer.py:274-275).
-
-    Args:
-      accum_steps: gradient accumulation via lax.scan — the batch's leading
-        dim must be accum_steps * micro_batch; grads are averaged over the
-        micro-steps before ONE optimizer update (the reference has none,
-        SURVEY.md §2 parallelism table).
-      remat: rematerialize forward activations during backward
-        (jax.checkpoint) — trades ~1/3 extra FLOPs for activation memory,
-        enabling larger per-chip batches at high resolutions.
+    """Build the UN-jitted train-step body step(state, batch) ->
+    (state, metrics). make_train_step jits it; make_multi_step scans it
+    inside one jitted program (no jit-internals introspection needed).
     """
-
-    if mesh is not None and warp_impl == "pallas":
-        # pallas_call does not partition under GSPMD; the XLA band-matmul
-        # warp shards cleanly and is the next-fastest implementation
-        warp_impl = "mxu"
 
     def loss_fn(params, batch_stats, batch, step_idx):
         batch = normalize_uint8_batch(batch)
@@ -298,6 +281,10 @@ def make_train_step(
             smooth_on=smooth_on,
             warp_impl=warp_impl,
             with_coverage=want_coverage,
+            # pallas_call does not partition under GSPMD; under a mesh the
+            # loss wraps the fused kernel in shard_map over "data" (batch
+            # rows are independent, so the sharding is exact and free)
+            mesh=mesh,
         )
         if want_coverage:
             reproj, smooth, extra = result
@@ -362,20 +349,50 @@ def make_train_step(
         }
         return new_state, metrics
 
+    return step
+
+
+def _jit_with_mesh(fn: Callable, mesh, donate: bool):
+    """jit `fn(state, ...) -> (state, metrics)`, constraining outputs to
+    stay replicated when a mesh is active.
+
+    Sharding flows from argument placement: the caller device_puts the
+    state replicated and the batch sharded over "data" (parallel/mesh.py);
+    XLA GSPMD then partitions the program and inserts the gradient psum
+    over the data axis."""
     donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=donate_argnums)
-
-    # Sharding flows from argument placement: the caller device_puts the
-    # state replicated and the batch sharded over "data" (parallel/mesh.py);
-    # XLA GSPMD then partitions the step and inserts the gradient psum over
-    # the data axis. Constrain outputs so the updated state stays replicated.
+        return jax.jit(fn, donate_argnums=donate_argnums)
     repl = replicated_sharding(mesh)
-    return jax.jit(
-        step,
-        out_shardings=(repl, repl),
-        donate_argnums=donate_argnums,
+    return jax.jit(fn, out_shardings=(repl, repl), donate_argnums=donate_argnums)
+
+
+def make_train_step(
+    depth_model,
+    pose_model,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+    **step_kwargs,
+) -> Callable:
+    """Build the jitted train step (optionally sharded over a mesh).
+
+    Returns step(state, batch) -> (state, metrics) where metrics carries
+    {loss, mul_app_loss, smoothness_loss} — the reference's wandb metric
+    names (/root/reference/trainer.py:274-275) — plus the banded-warp
+    coverage health metrics when warp_impl is 'mxu'/'pallas'.
+
+    step_kwargs (see make_train_step_body): loss_mode, semi_sup_pose,
+      smooth_weight, smooth_on, warp_impl, accum_steps (gradient
+      accumulation via lax.scan: batch leading dim = accum_steps *
+      micro_batch, grads averaged before ONE update), remat
+      (jax.checkpoint rematerialization — ~1/3 extra FLOPs for activation
+      memory), color_jitter, hflip, aug_seed.
+    """
+    step = make_train_step_body(
+        depth_model, pose_model, tx, mesh=mesh, **step_kwargs
     )
+    return _jit_with_mesh(step, mesh, donate)
 
 
 def make_multi_step(
@@ -383,6 +400,8 @@ def make_multi_step(
     pose_model,
     tx: optax.GradientTransformation,
     num_steps: int,
+    mesh=None,
+    donate: bool = True,
     **step_kwargs,
 ) -> Callable:
     """Run `num_steps` FULL optimizer steps inside ONE jitted program.
@@ -392,38 +411,50 @@ def make_multi_step(
     num_steps updates instead of per update. On launch-latency-bound
     links (the dev tunnel's ~1.4 ms floor) this multiplies throughput by
     ~num_steps; on real hosts it removes per-step dispatch overhead.
+    Works under a mesh exactly like make_train_step: batches are sharded
+    [num_steps, B, ...] over "data" on the batch dim, state replicated.
     Returns (state, metrics) where metrics are the LAST step's values
     (matching what a per-step logger would report).
     """
-    step = make_train_step(
-        depth_model, pose_model, tx, mesh=None, donate=False, **step_kwargs
+    inner = make_train_step_body(
+        depth_model, pose_model, tx, mesh=mesh, **step_kwargs
     )
-    # reuse the un-jitted body: build our own scan over the inner step
-    inner = step.__wrapped__ if hasattr(step, "__wrapped__") else None
 
     def multi(state: TrainState, batches):
-        def body(carry, batch):
-            new_state, metrics = (inner or step)(carry, batch)
-            return new_state, metrics
-
-        state, metrics_seq = jax.lax.scan(body, state, batches)
+        state, metrics_seq = jax.lax.scan(inner, state, batches)
         metrics = jax.tree.map(lambda m: m[-1], metrics_seq)
         return state, metrics
 
-    return jax.jit(multi, donate_argnums=(0,))
+    return _jit_with_mesh(multi, mesh, donate)
 
 
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
                    semi_sup_pose=False, warp_impl="mxu",
-                   median_scale=False) -> Callable:
+                   median_scale=False, mesh=None,
+                   eval_protocol="none") -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
 
     Parity: /root/reference/trainer.py:315-337 (validate) with the broken
-    compute_errors input fixed (SURVEY.md §3.2)."""
-    from unsupervised_pseuso_lidar_tpu.eval.metrics import compute_errors
+    compute_errors input fixed (SURVEY.md §3.2).
+
+    eval_protocol='eigen' applies the standard KITTI Eigen-split monocular
+    protocol: Garg crop + [1e-3, 80] m caps + per-image median scaling —
+    use for parity runs against published monodepth numbers
+    (/root/reference/evaluate.py:6-39 defines the metric set)."""
+    from unsupervised_pseuso_lidar_tpu.eval.metrics import (
+        compute_errors,
+        eigen_crop_mask,
+    )
     from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
 
+    if eval_protocol not in ("none", "eigen"):
+        raise ValueError(f"Unknown eval_protocol: {eval_protocol!r}")
+    eigen = eval_protocol == "eigen"
+
     def step(state: TrainState, batch):
+        # normalize up front: the loss below consumes batch images directly
+        # (forward_batch only normalizes its own model inputs)
+        batch = normalize_uint8_batch(batch)
         disps_tgt, disps_ref0, poses, _ = forward_batch(
             depth_model, pose_model, state.params, state.batch_stats, batch,
             train=False, semi_sup_pose=semi_sup_pose,
@@ -436,14 +467,22 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
             batch["intrinsics"],
             mode=loss_mode,
             warp_impl=warp_impl,
+            mesh=mesh,
         )
         depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
         metrics = {"loss": reproj + smooth}
         if "groundtruth" in batch:
+            gt = batch["groundtruth"]
+            mask = None
+            if eigen:
+                crop = eigen_crop_mask(gt.shape[-2], gt.shape[-1])
+                mask = jnp.broadcast_to(crop, gt.shape) & (gt > 1e-3) & (
+                    gt < 80.0
+                )
             metrics.update(
                 compute_errors(
-                    batch["groundtruth"], depth_pred,
-                    median_scale=median_scale,
+                    gt, depth_pred, mask=mask,
+                    median_scale=median_scale or eigen,
                 )
             )
         return metrics, depth_pred
@@ -513,6 +552,8 @@ class Trainer:
             semi_sup_pose=config.action.semi_sup_pose,
             warp_impl=config.action.warp_impl,
             median_scale=config.action.eval_median_scale,
+            mesh=mesh,
+            eval_protocol=config.action.eval_protocol,
         )
 
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
@@ -525,10 +566,9 @@ class Trainer:
             if restored is not None:
                 self.state, self.epoch = restored
 
-    def _device_batch(self, batch):
-        batch = {
-            k: v for k, v in batch.items() if k != "groundtruth"
-        }
+    def _device_batch(self, batch, keep_groundtruth: bool = False):
+        if not keep_groundtruth:
+            batch = {k: v for k, v in batch.items() if k != "groundtruth"}
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return batch
@@ -555,7 +595,11 @@ class Trainer:
         sums: Dict[str, float] = {}
         count = 0
         for batch in val_batches:
-            metrics, _ = self.eval_step(self.state, batch)
+            # same placement path as training (mesh-sharded when active);
+            # groundtruth rides along for the metric computation
+            metrics, _ = self.eval_step(
+                self.state, self._device_batch(batch, keep_groundtruth=True)
+            )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
