@@ -68,6 +68,31 @@ def mini_kitti(tmp_path_factory):
             f"{lat} {lon} {alt} 0.01 0.005 0.3 {rest}\n"
         )
 
+    # velodyne scans whose points project INSIDE the (tiny) image: pick
+    # pixel/depth targets in the rectified camera frame and pull them back
+    # through inv(R_rect @ T_velo_cam) into the velodyne frame
+    from unsupervised_pseuso_lidar_tpu.geometry.calibration import Calibration
+
+    calib = Calibration(str(date_dir))
+    velo_dir = date_dir / DRIVE / "velodyne_points" / "data"
+    velo_dir.mkdir(parents=True)
+    velo_to_rect = calib.R_rect @ calib.T_velo_cam
+    rect_to_velo = np.linalg.inv(velo_to_rect)
+    fx, cx = calib.P[0, 0], calib.P[0, 2]
+    fy, cy = calib.P[1, 1], calib.P[1, 2]
+    for i in range(NUM_FRAMES):
+        pts = []
+        for u, v, z in [(5, 5, 10.0), (20, 15, 25.0), (35, 25, 60.0)]:
+            x = (u - cx) * z / fx - calib.P[0, 3] / fx
+            y = (v - cy) * z / fy - calib.P[1, 3] / fy
+            rect = np.array([x, y, z, 1.0])
+            pts.append((rect_to_velo @ rect)[:3])
+        scan = np.concatenate(
+            [np.asarray(pts, dtype=np.float32),
+             np.ones((3, 1), dtype=np.float32)], axis=1
+        )
+        scan.tofile(velo_dir / f"{i:010d}.bin")
+
     # depth_annotated tree for split prep + GT
     depth_root = tmp_path_factory.mktemp("data_depth_annotated")
     gt_dir = (
@@ -158,6 +183,23 @@ class TestBatching:
         assert len(batches) == 1  # drop_last
         assert batches[0]["tgt"].shape == (2, 24, 32, 3)
 
+    def test_process_pool_batches_match_threads(self, mini_kitti, tmp_path):
+        # worker_type: process (VERDICT r1 task 6) — forked decode workers
+        # must yield byte-identical batches in the same order
+        split_path = str(tmp_path / "split.txt")
+        kitti_depth_annotated_prepare(
+            mini_kitti["kitti"], mini_kitti["depth"], split_path
+        )
+        dataset = UnSupKittiDataset(_config(split_path))
+        idx = list(range(len(dataset)))
+        a = list(dataset.batches(idx, 2, num_workers=2))
+        b = list(dataset.batches(idx, 2, num_workers=2, use_processes=True))
+        assert len(a) == len(b) == 2
+        for ba, bb in zip(a, b):
+            assert ba.keys() == bb.keys()
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
     def test_prefetch(self, mini_kitti, tmp_path):
         split_path = str(tmp_path / "split.txt")
         kitti_depth_annotated_prepare(
@@ -200,6 +242,10 @@ class TestBatching:
         out = chunked_device_put(batch, chunk_bytes=10_000)
         for k in batch:
             np.testing.assert_array_equal(np.asarray(out[k]), batch[k])
+        # parallel transfer streams preserve chunk order
+        out2 = chunked_device_put(batch, chunk_bytes=10_000, streams=4)
+        for k in batch:
+            np.testing.assert_array_equal(np.asarray(out2[k]), batch[k])
 
     def test_prefetch_chunked(self):
         batches = [
@@ -233,3 +279,70 @@ class TestStacked:
         item = dataset[0]
         assert item["tgt"].shape == (24, 32, 3)
         assert "groundtruth" not in item
+
+
+class TestVeloGT:
+    def test_raw_drive_split_and_velo_gt(self, mini_kitti, tmp_path):
+        # VERDICT r1 task 5: any raw drive (no annotated archive) yields
+        # GT metrics — split without a GT column + velodyne rasterization
+        from unsupervised_pseuso_lidar_tpu.data.splits import raw_drive_split
+
+        drive = os.path.join(mini_kitti["kitti"], DATE, DRIVE)
+        split_path = str(tmp_path / "smoke.txt")
+        lines = raw_drive_split(drive, split_path)
+        assert len(lines) == NUM_FRAMES - 2
+        assert all(len(line.split()) == 3 for line in lines)
+
+        config = _config(split_path)
+        config.datasets.velo_gt = True
+        dataset = UnSupKittiDataset(config)
+        item = dataset[0]
+        gt = item["groundtruth"]
+        assert gt.shape == (24, 32)
+        # the fixture's 3 synthetic returns at depths 10/25/60 m land at
+        # their target pixels (rescaled 40x30 -> 32x24)
+        valid = gt[gt > 0]
+        assert valid.size == 3
+        np.testing.assert_allclose(sorted(valid), [10.0, 25.0, 60.0], rtol=1e-4)
+        # each return lands on its target pixel up to int-truncation of
+        # the projected coordinate (fp32 noise can shift one pixel)
+        for (u, v, z) in [(5, 5, 10.0), (20, 15, 25.0), (35, 25, 60.0)]:
+            vi, ui = int(v * 24 / 30), int(u * 32 / 40)
+            patch = gt[max(vi - 1, 0) : vi + 2, max(ui - 1, 0) : ui + 2]
+            assert (np.abs(patch - z) < 1e-3).any()
+
+        # without the flag, a GT-less split has no groundtruth key
+        ds2 = UnSupKittiDataset(_config(split_path))
+        assert "groundtruth" not in ds2[0]
+
+    def test_evaluate_cli_velo_gt(self, mini_kitti, tmp_path, capsys):
+        # one-command smoke parity run (docs/PARITY_RUNBOOK.md §4)
+        import json
+
+        import yaml
+
+        from unsupervised_pseuso_lidar_tpu.cli.evaluate import main as eval_main
+        from unsupervised_pseuso_lidar_tpu.data.splits import raw_drive_split
+
+        drive = os.path.join(mini_kitti["kitti"], DATE, DRIVE)
+        split_path = str(tmp_path / "smoke.txt")
+        raw_drive_split(drive, split_path)
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump({
+            "model": {"name": "velogt_eval",
+                      "depth": {"name": "DispNetS"},
+                      "pose": {"name": "PoseNet"}},
+            "datasets": {"split": split_path,
+                         "augmentation": {"image_width": 32,
+                                          "image_height": 24}},
+            "action": {"batch_size": 2, "num_workers": 1,
+                       "checkpoint_dir": str(tmp_path / "ckpt")},
+        }))
+        metrics = eval_main([
+            "--config", str(cfg_path), "--velo-gt", "--protocol", "eigen",
+        ])
+        out = json.loads(capsys.readouterr().out)
+        assert np.isfinite(out["loss"])
+        # 24x32 Garg crop keeps rows 9..23, cols 1..30: the 25 m return at
+        # (12, 16) survives -> abs_rel is a real number
+        assert np.isfinite(metrics["abs_rel"])

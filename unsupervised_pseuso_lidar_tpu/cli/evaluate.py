@@ -26,6 +26,18 @@ def main(argv=None):
                         "metrics (the standard monocular/Eigen protocol "
                         "— self-supervised depth with a learned pose has "
                         "a global scale ambiguity)")
+    parser.add_argument("--protocol", default=None,
+                        choices=("none", "eigen"),
+                        help="'eigen' = the standard KITTI Eigen-split "
+                        "monocular protocol: Garg crop + [1e-3, 80] m "
+                        "caps + per-image median scaling (the parity-run "
+                        "setting; see docs/PARITY_RUNBOOK.md)")
+    parser.add_argument("--velo-gt", action="store_true",
+                        help="rasterize sparse GT from raw "
+                        "velodyne_points/*.bin scans for split lines "
+                        "without an annotated-depth column — any raw "
+                        "KITTI drive yields metrics, no "
+                        "data_depth_annotated archive needed")
     args = parser.parse_args(argv)
 
     from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
@@ -41,6 +53,10 @@ def main(argv=None):
         config.action.checkpoint_dir = args.checkpoint
     if args.median_scale:
         config.action.eval_median_scale = True
+    if args.protocol is not None:
+        config.action.eval_protocol = args.protocol
+    if args.velo_gt:
+        config.datasets.velo_gt = True
 
     dataset = UnSupKittiDataset(config)
     trainer = Trainer(config, dataset=dataset)

@@ -85,6 +85,9 @@ class UnSupKittiDataset:
         # decoded-uint8 disk cache: PNG decode dominates host time after
         # epoch 1 otherwise (datasets.cache_dir, '' = off)
         self.cache_dir = getattr(config.datasets, "cache_dir", "") or ""
+        # rasterize GT from raw velodyne scans when the split line has no
+        # annotated-depth column (reference TODO, dataloaders.py:174-175)
+        self.velo_gt = bool(getattr(config.datasets, "velo_gt", False))
         self.samples: List[Sample] = []
         self._calib_cache: Dict[str, Calibration] = {}
         self._init_samples()
@@ -113,6 +116,14 @@ class UnSupKittiDataset:
                 raise ValueError(f"Malformed split line: {line!r}")
             tgt, ref0, ref1 = parts[0], parts[1], parts[2]
             gt = parts[3] if len(parts) > 3 else None
+            if gt is None and self.velo_gt:
+                from unsupervised_pseuso_lidar_tpu.data.velo_gt import (
+                    velo_path_for_image,
+                )
+
+                velo = velo_path_for_image(tgt)
+                if os.path.isfile(velo):
+                    gt = velo  # .bin suffix routes __getitem__ to rasterize
             calib_dir = find_calib_dir(tgt)
             try:
                 calib = self._calibration(calib_dir)
@@ -180,7 +191,20 @@ class UnSupKittiDataset:
             "oxts": oxts.astype(np.float32),
         }
         if sample.groundtruth is not None:
-            out["groundtruth"] = load_depth_png(sample.groundtruth, size)
+            if sample.groundtruth.endswith(".bin"):
+                from unsupervised_pseuso_lidar_tpu.data.velo_gt import (
+                    depth_gt_from_velo,
+                )
+
+                out["groundtruth"] = depth_gt_from_velo(
+                    sample.groundtruth,
+                    self._calibration(find_calib_dir(sample.tgt)),
+                    self.img_width,
+                    self.img_height,
+                    orig_size=(orig_h, orig_w),
+                )
+            else:
+                out["groundtruth"] = load_depth_png(sample.groundtruth, size)
         return out
 
     # ------------------------------------------------------------------
@@ -202,25 +226,68 @@ class UnSupKittiDataset:
         batch_size: int,
         num_workers: int = 8,
         drop_last: bool = True,
+        use_processes: bool = False,
+        lookahead: int = 2,
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield collated batches, loading samples with a thread pool."""
-        from concurrent.futures import ThreadPoolExecutor
+        """Yield collated batches, loading samples with a worker pool.
 
+        use_processes: decode in a process pool instead of a thread pool.
+        PIL releases the GIL during PNG decode, but resize/normalize and
+        the OXTS parse hold it — on many-core production hosts process
+        workers keep every core decoding (the reference uses
+        DataLoader(num_workers=8) forked workers, trainer.py:187-190).
+        Requires a fork-capable platform; samples are dispatched
+        `lookahead` batches ahead so decode overlaps device compute.
+        """
         end = len(indices) - (len(indices) % batch_size if drop_last else 0)
-        if num_workers > 1:
-            with ThreadPoolExecutor(max_workers=num_workers) as pool:
-                for start in range(0, end, batch_size):
-                    chunk = indices[start : start + batch_size]
-                    if drop_last and len(chunk) < batch_size:
-                        break
-                    items = list(pool.map(self.__getitem__, chunk))
-                    yield collate(items)
+        starts = [
+            s for s in range(0, end, batch_size)
+            if not (drop_last and len(indices[s : s + batch_size]) < batch_size)
+        ]
+        if num_workers > 1 and starts:
+            if use_processes:
+                from concurrent.futures import ProcessPoolExecutor
+
+                # fork start method shares self.samples copy-on-write; the
+                # PIL/numpy __getitem__ outputs pickle cheaply back. (The
+                # velo_gt rasterizer dispatches to the jax backend — keep
+                # the default thread pool for that eval-only path.)
+                with ProcessPoolExecutor(max_workers=num_workers) as pool:
+                    yield from self._pipelined(pool, starts, indices,
+                                               batch_size, lookahead)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                    yield from self._pipelined(pool, starts, indices,
+                                               batch_size, lookahead)
         else:
-            for start in range(0, end, batch_size):
-                chunk = indices[start : start + batch_size]
-                if drop_last and len(chunk) < batch_size:
-                    break
-                yield collate([self[i] for i in chunk])
+            for start in starts:
+                yield collate([self[i] for i in indices[start : start + batch_size]])
+
+    def _pipelined(self, pool, starts, indices, batch_size, lookahead):
+        """Submit `lookahead` batches of __getitem__ futures ahead of the
+        consumer so workers decode batch N+k while the device trains on N."""
+        from collections import deque
+
+        inflight = deque()
+        it = iter(starts)
+
+        def submit_next():
+            try:
+                start = next(it)
+            except StopIteration:
+                return
+            chunk = indices[start : start + batch_size]
+            inflight.append([pool.submit(self.__getitem__, i) for i in chunk])
+
+        for _ in range(max(1, lookahead) + 1):
+            submit_next()
+        while inflight:
+            futures = inflight.popleft()
+            items = [f.result() for f in futures]
+            submit_next()
+            yield collate(items)
 
 
 class UnSupStackedDataset(UnSupKittiDataset):

@@ -62,3 +62,36 @@ def kitti_depth_annotated_prepare(
     with open(output_path, "w") as f:
         f.write("\n".join(lines) + ("\n" if lines else ""))
     return lines
+
+
+def raw_drive_split(
+    drive_dir: str,
+    output_path: str,
+    ref_offset: int = 1,
+    camera: str = "image_02",
+) -> List[str]:
+    """Build a GT-less split ("<tgt> <ref-k> <ref+k>" per line) over one
+    raw KITTI drive directory.
+
+    Pairs with `--velo-gt` evaluation (docs/PARITY_RUNBOOK.md §4): sparse
+    GT is rasterized from the drive's velodyne scans at load time, so any
+    raw drive yields eval metrics without data_depth_annotated.
+    """
+    image_dir = os.path.join(drive_dir, camera, "data")
+    frames = sorted(
+        int(os.path.splitext(os.path.basename(p))[0])
+        for p in glob.glob(os.path.join(image_dir, "*.png"))
+    )
+    have = set(frames)
+    lines: List[str] = []
+    for frame in frames:
+        if frame - ref_offset in have and frame + ref_offset in have:
+            lines.append(
+                f"{_frame_path(image_dir, frame)} "
+                f"{_frame_path(image_dir, frame - ref_offset)} "
+                f"{_frame_path(image_dir, frame + ref_offset)}"
+            )
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    with open(output_path, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return lines

@@ -33,6 +33,7 @@ def depth_gt_from_velo(
     width: int,
     height: int,
     max_dist: float = 120.0,
+    orig_size: "tuple[int, int] | None" = None,
 ) -> np.ndarray:
     """Rasterize one velodyne scan into an [H, W] sparse depth image.
 
@@ -40,15 +41,26 @@ def depth_gt_from_velo(
     rectified-camera chain, /root/reference/geometry/calibration.py:14-17);
     0 marks pixels without a return, matching the data_depth_annotated
     convention the eval metrics mask on.
+
+    orig_size: (orig_h, orig_w) of the camera frame the calibration refers
+    to. When (width, height) differ, the projection matrix rows are scaled
+    so points land directly on the resized grid — sparse depth VALUES are
+    metric and must never be interpolated, so rescaling happens in the
+    projection, not on the raster.
     """
     import jax.numpy as jnp
 
     scan = load_velo_scan(velo_file)
     velo_to_rect = calib.R_rect @ calib.T_velo_cam
+    proj = calib.P.astype(np.float32).copy()
+    if orig_size is not None:
+        orig_h, orig_w = orig_size
+        proj[0] *= width / orig_w
+        proj[1] *= height / orig_h
     img = project_velo_to_depth_image(
         jnp.asarray(scan[:, :3]),
         jnp.asarray(velo_to_rect, dtype=jnp.float32),
-        jnp.asarray(calib.P, dtype=jnp.float32),
+        jnp.asarray(proj),
         width=width,
         height=height,
         max_dist=max_dist,

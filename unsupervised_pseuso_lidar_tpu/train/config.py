@@ -52,6 +52,11 @@ class DatasetConfig:
     sequence_length: int = 3
     dataset: List[str] = field(default_factory=lambda: ["KITTI"])
     cache_dir: str = ""  # decoded-uint8 image cache ('' = decode every epoch)
+    # rasterize sparse GT depth from velodyne_points/*.bin scans when a
+    # split line has no annotated-depth path (the reference's open TODO,
+    # /root/reference/dataloaders.py:174-175) — lets any raw KITTI drive
+    # yield eval metrics without the data_depth_annotated archive
+    velo_gt: bool = False
 
 
 @dataclass
@@ -79,10 +84,17 @@ class ActionConfig:
     batch_size: int = 4
     num_epochs: int = 30
     num_workers: int = 8
+    # 'thread' | 'process': process workers keep every host core decoding
+    # (PIL holds the GIL through resize/normalize; see data/kitti.batches)
+    worker_type: str = "thread"
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     semi_sup_pose: bool = False
     eval_median_scale: bool = False
+    # 'none' | 'eigen': 'eigen' applies the standard KITTI Eigen-split
+    # monocular protocol (Garg crop + [1e-3, 80] m caps + per-image median
+    # scaling) — the setting for parity runs against published numbers
+    eval_protocol: str = "none"
     loss_mode: str = "mean"
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
@@ -141,6 +153,7 @@ class Config:
             sequence_length=int(ds_raw.get("sequence_length", 3)),
             dataset=list(ds_raw.get("dataset", ["KITTI"])),
             cache_dir=ds_raw.get("cache_dir", ""),
+            velo_gt=bool(ds_raw.get("velo_gt", False)),
         )
 
         act_raw = dict(raw.get("action", {}))
@@ -156,6 +169,7 @@ class Config:
             batch_size=int(act_raw.get("batch_size", 4)),
             num_epochs=int(act_raw.get("num_epochs", 30)),
             num_workers=int(act_raw.get("num_workers", 8)),
+            worker_type=act_raw.get("worker_type", "thread"),
             optimizer=OptimizerConfig(
                 name=opt_raw.get("name", "Adam"),
                 depth_lr=float((opt_raw.get("depth") or {}).get("lr", 1e-4)),
@@ -168,6 +182,7 @@ class Config:
             ),
             semi_sup_pose=bool(act_raw.get("semi_sup_pose", False)),
             eval_median_scale=bool(act_raw.get("eval_median_scale", False)),
+            eval_protocol=act_raw.get("eval_protocol", "none"),
             loss_mode=act_raw.get("loss_mode", "mean"),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
@@ -199,6 +214,10 @@ class Config:
             raise ValueError(
                 "action.warp_impl must be 'mxu', 'gather', or 'pallas'"
             )
+        if self.action.eval_protocol not in ("none", "eigen"):
+            raise ValueError("action.eval_protocol must be 'none' or 'eigen'")
+        if self.action.worker_type not in ("thread", "process"):
+            raise ValueError("action.worker_type must be 'thread' or 'process'")
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
