@@ -190,36 +190,52 @@ def main():
     report["train_step_b12_bf16_fps"] = round(12.0 / dt, 2)
 
     # 5. streaming epoch: loader -> prefetch -> train (host pipeline incl.)
+    # Production convention: plain device_put prefetch (the tunnel moves
+    # ~700 MB/s as of r2 — chunking, which won r1's 15-36 MB/s link, now
+    # LOSES ~13%) feeding the bf16 multi-step scan driver (4 optimizer
+    # steps per launch; launch latency amortized).
     from unsupervised_pseuso_lidar_tpu.data.pipeline import prefetch_to_device
     from unsupervised_pseuso_lidar_tpu.data.synthetic import (
         SyntheticTripletDataset,
     )
-
+    from unsupervised_pseuso_lidar_tpu.train.trainer import make_multi_step
     from unsupervised_pseuso_lidar_tpu.utils.profiling import hard_sync
 
-    dataset = SyntheticTripletDataset(20, 12, height, width, seed=0, uint8_images=True)
+    dataset = SyntheticTripletDataset(40, 12, height, width, seed=0, uint8_images=True)
     # pre-generate host batches: scene synthesis is not part of the
     # pipeline under test (a real epoch decodes PNGs instead)
     host_batches = [
         {k: v for k, v in b.items() if k != "groundtruth"}
         for b in dataset.batches(0)
     ]
-    s = state
+    unroll = 8  # measured r2: unroll 4 -> 149 fps, unroll 8 -> 187 fps
+    stacked_batches = [
+        {
+            k: np.stack([b[k] for b in host_batches[i : i + unroll]])
+            for k in host_batches[0]
+        }
+        for i in range(0, len(host_batches) - unroll + 1, unroll)
+    ]
+    multi16 = make_multi_step(
+        depth16, pose16, tx16, unroll, donate=False, warp_impl="pallas"
+    )
+    s = state16
     t0 = None
     n = 0
-    for b in prefetch_to_device(iter(host_batches), size=3, chunk_bytes=4 << 20):
-        s, m = step(s, b)
+    for b in prefetch_to_device(iter(stacked_batches), size=3):
+        s, m = multi16(s, b)
         if t0 is None:
             # first batch pays producer-thread startup + a cold upload;
             # start the clock after it completes
             hard_sync((s, m))
             t0 = time.perf_counter()
             continue
-        n += 12
+        n += 12 * unroll
     hard_sync((s, m))
     dt = (time.perf_counter() - t0)
     report["streaming_epoch_fps"] = round(n / dt, 2)
     report["streaming_epoch_frames"] = n
+    report["streaming_epoch_unroll"] = unroll
 
     # 5b. learning evidence: num_conv_steps (1500) bf16 train steps on SLANTED synthetic
     # scenes (ground-truth depth varies ~6-23 m across the image), then

@@ -71,7 +71,6 @@ def main(argv=None):
             trainer.fit(
                 make_train_iter=lambda epoch: prefetch_to_device(
                     dataset.batches(epoch), device_put=device_put,
-                    chunk_bytes=4 << 20,
                 ),
             )
         if args.op_breakdown:
@@ -93,12 +92,13 @@ def main(argv=None):
 
     batch_size = config.action.batch_size
     workers = config.action.num_workers
+    procs = config.action.worker_type == "process"
     with profile_ctx:
         trainer.fit(
             make_train_iter=lambda epoch: prefetch_to_device(
-                dataset.batches(train_idx, batch_size, workers),
+                dataset.batches(train_idx, batch_size, workers,
+                                use_processes=procs),
                 device_put=device_put,
-                chunk_bytes=4 << 20,
             ),
             make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
         )

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chunked_device_put(batch: Any, chunk_bytes: int = 4 << 20) -> Any:
+def chunked_device_put(
+    batch: Any, chunk_bytes: int = 4 << 20, streams: int = 1
+) -> Any:
     """device_put with large leaves split into ~chunk_bytes batch-axis
     chunks (re-joined by a device-side concatenate).
 
@@ -27,7 +29,19 @@ def chunked_device_put(batch: Any, chunk_bytes: int = 4 << 20) -> Any:
     transfer size (4.4 MB moves at ~36 MB/s, 13.3 MB at ~15 MB/s); chunking
     the image leaves cut the streaming step 623 -> 455 ms. On local-PCIe
     hosts this is a wash — keep plain jax.device_put there.
+
+    streams > 1 issues the chunk transfers from a thread pool —
+    per-transfer overhead (serialization, round trips) pipelines across
+    concurrent puts, raising aggregate bandwidth on high-latency links.
     """
+
+    def put_parts(parts):
+        if streams > 1 and len(parts) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=streams) as pool:
+                return list(pool.map(jax.device_put, parts))
+        return [jax.device_put(p) for p in parts]
 
     def put(leaf):
         leaf = np.asarray(leaf)
@@ -35,7 +49,7 @@ def chunked_device_put(batch: Any, chunk_bytes: int = 4 << 20) -> Any:
             return jax.device_put(leaf)
         chunks = min(leaf.shape[0], -(-leaf.nbytes // chunk_bytes))
         parts = np.array_split(leaf, chunks, axis=0)
-        return jnp.concatenate([jax.device_put(p) for p in parts], axis=0)
+        return jnp.concatenate(put_parts(parts), axis=0)
 
     return jax.tree.map(put, batch)
 
@@ -45,6 +59,7 @@ def prefetch_to_device(
     size: int = 2,
     device_put: Optional[Callable[[Any], Any]] = None,
     chunk_bytes: Optional[int] = None,
+    streams: int = 1,
 ) -> Iterator[Any]:
     """Yield batches from `batch_iter`, staged onto device `size` batches
     ahead by a daemon thread.
@@ -57,10 +72,12 @@ def prefetch_to_device(
       chunk_bytes: if set (and device_put is not), use chunked_device_put
         with this chunk size — faster on links whose rate degrades with
         transfer size (the dev tunnel).
+      streams: concurrent chunk transfers (chunked_device_put) — pipelines
+        per-transfer overhead on high-latency links.
     """
     if device_put is None:
         if chunk_bytes:
-            device_put = lambda b: chunked_device_put(b, chunk_bytes)
+            device_put = lambda b: chunked_device_put(b, chunk_bytes, streams)
         else:
             device_put = jax.device_put
 
