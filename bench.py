@@ -30,6 +30,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Per-chip peak bf16 MXU throughput (TFLOP/s), keyed by device_kind
+# prefix. Public figures: v4 275, v5e ("v5 lite") 197, v5p 459,
+# v6e (Trillium) 918, v3 123, v2 46.
+PEAK_BF16_TFLOPS = (
+    ("TPU v6", 918.0),
+    ("TPU v5p", 459.0),
+    ("TPU v5 lite", 197.0),
+    ("TPU v5e", 197.0),
+    ("TPU v4", 275.0),
+    ("TPU v3", 123.0),
+    ("TPU v2", 46.0),
+)
+
+
+def peak_tflops(device_kind: str):
+    for prefix, peak in PEAK_BF16_TFLOPS:
+        if device_kind.startswith(prefix):
+            return peak
+    return None
+
+
+def step_flops(step, *args):
+    """Analytic FLOPs of one compiled program from XLA's cost model."""
+    cost = step.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    return flops if flops > 0 else None
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
@@ -139,6 +168,19 @@ def main(argv=None):
     dt = (time.perf_counter() - t0) / (args.steps * args.unroll)
     fps = args.batch / dt
 
+    # MFU: analytic program FLOPs (XLA cost model) at the measured rate
+    # vs the chip's peak bf16 MXU throughput. The program covers fwd +
+    # bwd + Adam for `unroll` optimizer steps.
+    device_kind = jax.devices()[0].device_kind
+    flops_program = step_flops(step, state, batch)
+    achieved_tflops = mfu = None
+    if flops_program:
+        flops_step = flops_program / args.unroll
+        achieved_tflops = flops_step / dt / 1e12
+        peak = peak_tflops(device_kind)
+        if peak:
+            mfu = achieved_tflops / peak
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
     )
@@ -151,24 +193,26 @@ def main(argv=None):
 
     if args.verbose:
         print(
-            f"# device={jax.devices()[0].device_kind} "
+            f"# device={device_kind} "
             f"sec/step={dt:.4f} loss={float(metrics['loss']):.4f}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "train_fps_depth_pose_warp_b"
-                    f"{args.batch}_{args.width}x{args.height}"
-                    + ("_bf16" if args.bf16 else "")
-                ),
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    row = {
+        "metric": (
+            "train_fps_depth_pose_warp_b"
+            f"{args.batch}_{args.width}x{args.height}"
+            + ("_bf16" if args.bf16 else "")
+        ),
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if achieved_tflops is not None:
+        row["tflops_per_sec"] = round(achieved_tflops, 2)
+    if mfu is not None:
+        # fraction of peak bf16 MXU throughput (fwd+bwd+Adam program)
+        row["mfu"] = round(mfu, 4)
+    print(json.dumps(row))
     return fps
 
 

@@ -150,6 +150,7 @@ def test_orbax_save_restore(tmp_path):
         np.testing.assert_allclose(l1, l2)
 
 
+@pytest.mark.slow
 def test_bts_torch_roundtrip_and_function():
     """BTS export->import reproduces tensors AND outputs (catches mapping
     path mistakes: a missing leaf would silently keep old weights)."""

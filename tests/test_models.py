@@ -216,6 +216,7 @@ def test_registry_unknown_model_raises():
         build_model("NotAModel")
 
 
+@pytest.mark.slow
 class TestBts:
     def test_bts_shapes_and_param_count(self):
         model = build_model("BtsModel")
