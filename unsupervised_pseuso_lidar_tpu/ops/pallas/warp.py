@@ -69,7 +69,10 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
     # statically. All per-pixel vectors live as [1, 128] lane rows; the
     # one-hot is built transposed so no lane<->sublane relayout is needed.
     iw_t = jax.lax.broadcasted_iota(jnp.int32, (col_band, LANES), 0)
-    ik_t = jax.lax.broadcasted_iota(jnp.int32, (3 * band_rows, LANES), 0)
+    # y-selection mask over ONE channel's band rows [K, 128]; channels
+    # read their slice of xint_t statically — 3x less compare/mask work
+    # than a per-channel mask over the full [3K, 128] stack.
+    ik_t = jax.lax.broadcasted_iota(jnp.int32, (band_rows, LANES), 0)
 
     def tile8(ii, carry):
         base = pl.multiple_of(ii * 8, 8)
@@ -104,15 +107,14 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             )                                          # [4K, 128]
             v0 = (k0r >= 0) & (k0r <= band_rows - 1)
             v1 = (k0r + 1 >= 0) & (k0r + 1 <= band_rows - 1)
+            sel = (
+                jnp.where((ik_t == k0r) & v0, 1.0 - wy1r, 0.0)
+                + jnp.where((ik_t == k0r + 1) & v1, wy1r, 0.0)
+            )                                          # [K, 128], shared
             for c in range(3):
-                sel = (
-                    jnp.where((ik_t == c * band_rows + k0r) & v0,
-                              1.0 - wy1r, 0.0)
-                    + jnp.where((ik_t == c * band_rows + k0r + 1) & v1,
-                                wy1r, 0.0)
-                )
+                xint_c = xint_t[c * band_rows : (c + 1) * band_rows, :]
                 outs[c].append(
-                    jnp.sum(xint_t * sel, axis=0, keepdims=True)
+                    jnp.sum(xint_c * sel, axis=0, keepdims=True)
                 )                                      # [1, 128]
         for c, out_ref in enumerate((out_r, out_g, out_b)):
             out_ref[0, 0, pl.ds(base, 8), :] = jnp.concatenate(
@@ -137,7 +139,9 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
 
     banded = col_band < width
     iw_t = jax.lax.broadcasted_iota(jnp.int32, (col_band, LANES), 0)
-    ik_t = jax.lax.broadcasted_iota(jnp.int32, (3 * band_rows, LANES), 0)
+    # single-channel-band iota: masks are built once over [K, 128] and
+    # shared across channels (channels read static slices of xint_t)
+    ik_t = jax.lax.broadcasted_iota(jnp.int32, (band_rows, LANES), 0)
 
     def tile8(ii, carry):
         base = pl.multiple_of(ii * 8, 8)
@@ -173,19 +177,21 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             )                                          # [4K, 128]
             v0 = (k0r >= 0) & (k0r <= band_rows - 1)
             v1 = (k0r + 1 >= 0) & (k0r + 1 <= band_rows - 1)
+            m0 = jnp.where((ik_t == k0r) & v0, 1.0, 0.0)       # [K, 128]
+            m1 = jnp.where((ik_t == k0r + 1) & v1, 1.0, 0.0)
+            # dxint rows for channel c = dout_c * (m0*(1-wy1) + m1*wy1):
+            # the weight pattern w is channel-independent
+            w = m0 * (1.0 - wy1r) + m1 * wy1r
             dy = jnp.zeros((1, LANES), jnp.float32)
-            dxint_t = jnp.zeros((3 * band_rows, LANES), jnp.float32)
+            dxint_blocks = []
             for c in range(3):
-                m0 = jnp.where((ik_t == c * band_rows + k0r) & v0, 1.0, 0.0)
-                m1 = jnp.where((ik_t == c * band_rows + k0r + 1) & v1,
-                               1.0, 0.0)
-                tap0 = jnp.sum(xint_t * m0, axis=0, keepdims=True)
-                tap1 = jnp.sum(xint_t * m1, axis=0, keepdims=True)
+                xint_c = xint_t[c * band_rows : (c + 1) * band_rows, :]
+                tap0 = jnp.sum(xint_c * m0, axis=0, keepdims=True)
+                tap1 = jnp.sum(xint_c * m1, axis=0, keepdims=True)
                 # out_c = (1-wy1)*tap0 + wy1*tap1 -> d/dwy1 = tap1 - tap0
                 dy = dy + doutr[c] * (tap1 - tap0)
-                dxint_t = dxint_t + doutr[c] * (
-                    m0 * (1.0 - wy1r) + m1 * wy1r
-                )
+                dxint_blocks.append(w * doutr[c])
+            dxint_t = jnp.concatenate(dxint_blocks, axis=0)  # [3K, 128]
             d_onehot_t = jax.lax.dot_general(
                 band_r, dxint_t.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),

@@ -51,9 +51,14 @@ def _op_family(name: str) -> str:
 
 
 def summarize_xplane(
-    path: str, plane_substr: str = "/device:"
+    path: str, plane_substr: str = "/device:", collapse: bool = True
 ) -> List[Tuple[str, float, int]]:
     """[(op_family, total_ms, count)] for the first matching device plane.
+
+    collapse=False keeps full HLO instruction names (one row per
+    instruction) instead of op families — cross-reference the names
+    against `jitted.lower(...).compile().as_text()` to see exactly what a
+    hot fusion computes.
 
     Falls back to the host plane when no device plane exists (CPU-backend
     traces put XLA ops on the host plane).
@@ -79,7 +84,8 @@ def summarize_xplane(
     xla_ops_lines = [l for l in plane.lines if l.name == "XLA Ops"]
     for line in xla_ops_lines or plane.lines:
         for ev in line.events:
-            fam = _op_family(ev_names.get(ev.metadata_id, str(ev.metadata_id)))
+            name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
+            fam = _op_family(name) if collapse else name
             durs[fam] += ev.duration_ps / 1e9  # ps -> ms
             counts[fam] += 1
     return sorted(
