@@ -52,7 +52,12 @@ def peak_tflops(device_kind: str):
 
 
 def step_flops(step, *args):
-    """Analytic FLOPs of one compiled program from XLA's cost model."""
+    """Analytic FLOPs of one compiled program from XLA's cost model.
+
+    Must be called on a SINGLE-step program: the cost model counts a
+    `lax.scan` body once regardless of trip count, so analyzing the
+    unrolled multi-step program and dividing by `unroll` undercounts
+    FLOPs (measured: 4x at unroll 4)."""
     cost = step.lower(*args).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
@@ -169,13 +174,19 @@ def main(argv=None):
     fps = args.batch / dt
 
     # MFU: analytic program FLOPs (XLA cost model) at the measured rate
-    # vs the chip's peak bf16 MXU throughput. The program covers fwd +
-    # bwd + Adam for `unroll` optimizer steps.
+    # vs the chip's peak bf16 MXU throughput. Always analyzed on a
+    # SINGLE-step program (see step_flops); the persistent compile cache
+    # makes the extra lowering cheap when timing the unrolled path.
     device_kind = jax.devices()[0].device_kind
-    flops_program = step_flops(step, state, batch)
+    if args.unroll > 1:
+        step1 = make_train_step(depth_model, pose_model, tx,
+                                warp_impl=args.warp, donate=False)
+        batch1 = {k: v[0] for k, v in batch.items()}
+        flops_step = step_flops(step1, state, batch1)
+    else:
+        flops_step = step_flops(step, state, batch)
     achieved_tflops = mfu = None
-    if flops_program:
-        flops_step = flops_program / args.unroll
+    if flops_step:
         achieved_tflops = flops_step / dt / 1e12
         peak = peak_tflops(device_kind)
         if peak:

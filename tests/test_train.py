@@ -377,6 +377,42 @@ class TestAccumAndRemat:
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
 
 
+class TestOptimizerLrSplit:
+    """Per-net learning rates must route through optax.multi_transform
+    so depth and pose nets honor their configured lrs independently."""
+
+    def _tree(self):
+        k = jax.random.PRNGKey(3)
+        return {
+            "depth": {
+                "conv": {"kernel": jax.random.normal(k, (3, 3, 4, 8)),
+                         "bias": jnp.zeros((8,))},
+            },
+            "pose": {"w": jax.random.normal(jax.random.PRNGKey(4), (5, 6))},
+        }
+
+    def test_multi_transform_lr_split(self):
+        import optax
+        from unsupervised_pseuso_lidar_tpu.train.config import Config
+        from unsupervised_pseuso_lidar_tpu.train.trainer import make_optimizer
+
+        cfg = _small_config()
+        cfg.action.optimizer.depth_lr = 1e-4
+        cfg.action.optimizer.pose_lr = 2e-4
+        tx = make_optimizer(cfg, steps_per_epoch=10)
+        params = self._tree()
+        grads = jax.tree.map(jnp.ones_like, params)
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        # Adam on all-ones grads: first update magnitude == lr per label
+        got_depth = float(
+            jnp.max(jnp.abs(updates["depth"]["conv"]["kernel"]))
+        )
+        got_pose = float(jnp.max(jnp.abs(updates["pose"]["w"])))
+        np.testing.assert_allclose(got_depth, 1e-4, rtol=1e-3)
+        np.testing.assert_allclose(got_pose, 2e-4, rtol=1e-3)
+
+
 def test_distributed_initialize_noop_without_env(monkeypatch):
     from unsupervised_pseuso_lidar_tpu.parallel.distributed import initialize
 
