@@ -114,6 +114,41 @@ class TestFusedWarp:
         g_band = jax.grad(lambda g: loss(384, g))(grid)
         np.testing.assert_array_equal(np.asarray(g_band), np.asarray(g_full))
 
+    def test_row_windowed_matches_full_band(self):
+        # band_pad=12 -> band_rows 48 > WIN_ROWS 32: the per-tile row
+        # window is active (dynamic r0). When col_coverage says the
+        # windows keep every tap, fwd and grad must match the unwindowed
+        # XLA band-matmul warp.
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            col_coverage,
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+
+        jax, img, grid = self._case(batch=2, height=16, width=128)
+        assert float(col_coverage(grid, None, 8, 12)) == 1.0
+        ref = grid_sample_mxu(img, grid, band_pad=12)
+        got = grid_sample_mxu_fused(img, grid, 12, 8, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+        )
+
+        def loss(fn, g):
+            return jnp.mean(jnp.abs(fn(img, g) - 100.0))
+
+        g_ref = jax.grad(
+            lambda g: loss(lambda i, gg: grid_sample_mxu(i, gg, band_pad=12), g)
+        )(grid)
+        g_fus = jax.grad(
+            lambda g: loss(
+                lambda i, gg: grid_sample_mxu_fused(i, gg, 12, 8, True), g
+            )
+        )(grid)
+        scale = max(float(jnp.abs(g_ref).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
+        )
+
     def test_col_coverage_degrades_out_of_window(self):
         # a spread wider than the window tolerance must be flagged < 1
         from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage

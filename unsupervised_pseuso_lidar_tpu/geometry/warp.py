@@ -213,7 +213,9 @@ def coverage_from_coords(
 
     out = {"band_coverage": band_coverage(coords, band_pad, rows_per_block)}
     if include_col:
-        out["col_coverage"] = col_coverage(coords, None, rows_per_block)
+        out["col_coverage"] = col_coverage(
+            coords, None, rows_per_block, band_pad
+        )
     return jax.lax.stop_gradient(out)
 
 

@@ -31,6 +31,14 @@ reads a 128-aligned window of `col_band` source columns centered at the
 tile's mean horizontal sample position (a dynamic lane-dim VMEM slice),
 cutting dot FLOPs by W/col_band (1.7x at 640). Out-of-window taps
 contribute zero; `col_coverage` monitors the in-window fraction.
+
+Row windowing (the same idea along y): a coordinate tile is 128
+consecutive pixels of ONE output row, so its y-taps span just that row's
+horizontal flow variation — yet the dot's lhs was the whole [3*48, WB]
+block band. Each tile instead reads a 16-aligned WIN_ROWS=32 window per
+channel (three dynamic sublane slices concatenated to a [96, WB] lhs),
+cutting dot FLOPs by another 1/3 and fitting one MXU M-tile instead of
+two. `col_coverage` folds the row-window retention into its metric.
 """
 
 from __future__ import annotations
@@ -45,15 +53,25 @@ from jax.experimental.pallas import tpu as pltpu
 from unsupervised_pseuso_lidar_tpu.ops.resample import _block_flow_centers
 
 LANES = 128
+# Per-tile row window (multiple of 16): each 128-pixel coordinate tile
+# holds one output row, so its y-taps span only that row's horizontal
+# flow variation — a handful of band rows, not the whole block band.
+# The x-interpolation dots contract a win_rows slice per channel instead
+# of the full band: at the default band_pad=12 (band 48 rows after the
+# 16-row Mosaic alignment) this cuts every dot's FLOPs by 1/3 AND fits
+# the [3*32, WB] lhs in a single MXU M-tile (96 <= 128 rows) where
+# [3*48, WB] needed two passes — measured 2x fewer MXU cycles per tile.
+WIN_ROWS = 32
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
-                wy1_ref, out_r, out_g, out_b, band, *, num_tiles, band_rows,
-                plane_rows, width, col_band, num_blocks):
+def _fwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
+                k0_ref, wy1_ref, out_r, out_g, out_b, band, *, num_tiles,
+                band_rows, win_rows, plane_rows, width, col_band,
+                num_blocks):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
@@ -64,15 +82,16 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
         ]
 
     banded = col_band < width
+    windowed = win_rows < band_rows
     # Mosaic only allows tile-aligned dynamic vector loads/stores: fetch
     # 8 sublane rows (= 8 coordinate tiles) at a time, then index rows
     # statically. All per-pixel vectors live as [1, 128] lane rows; the
     # one-hot is built transposed so no lane<->sublane relayout is needed.
     iw_t = jax.lax.broadcasted_iota(jnp.int32, (col_band, LANES), 0)
-    # y-selection mask over ONE channel's band rows [K, 128]; channels
+    # y-selection mask over ONE channel's window rows [KW, 128]; channels
     # read their slice of xint_t statically — 3x less compare/mask work
-    # than a per-channel mask over the full [3K, 128] stack.
-    ik_t = jax.lax.broadcasted_iota(jnp.int32, (band_rows, LANES), 0)
+    # than a per-channel mask over the full [3KW, 128] stack.
+    ik_t = jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0)
 
     def tile8(ii, carry):
         base = pl.multiple_of(ii * 8, 8)
@@ -86,16 +105,28 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             wx1r = wx18[r : r + 1, :]
             k0r = k08[r : r + 1, :]
             wy1r = wy18[r : r + 1, :]
+            idx = (b * num_blocks + t) * num_tiles + base + r
             if banded:
                 # per-tile column window: x0 is pre-shifted by the window
                 # start (128-aligned, SMEM-prefetched flat) in _prepare
-                c0 = pl.multiple_of(
-                    c0_ref[(b * num_blocks + t) * num_tiles + base + r],
-                    LANES,
-                )
-                band_r = band[:, pl.ds(c0, col_band)]  # [4K, WB]
+                c0 = pl.multiple_of(c0_ref[idx], LANES)
+                cols = pl.ds(c0, col_band)
             else:
-                band_r = band[:, :]
+                cols = pl.ds(0, width)
+            if windowed:
+                # per-tile row window: k0 is pre-shifted by the 16-aligned
+                # window start in _prepare
+                r0 = pl.multiple_of(r0_ref[idx], 16)
+            else:
+                r0 = 0
+            band_r = jnp.concatenate(
+                [
+                    band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
+                               win_rows), cols]
+                    for c in range(3)
+                ],
+                axis=0,
+            )                                          # [3KW, WB]
             onehot_t = (
                 jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
                 + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
@@ -104,15 +135,15 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
                 band_r, onehot_t,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [4K, 128]
-            v0 = (k0r >= 0) & (k0r <= band_rows - 1)
-            v1 = (k0r + 1 >= 0) & (k0r + 1 <= band_rows - 1)
+            )                                          # [3KW, 128]
+            v0 = (k0r >= 0) & (k0r <= win_rows - 1)
+            v1 = (k0r + 1 >= 0) & (k0r + 1 <= win_rows - 1)
             sel = (
                 jnp.where((ik_t == k0r) & v0, 1.0 - wy1r, 0.0)
                 + jnp.where((ik_t == k0r + 1) & v1, wy1r, 0.0)
-            )                                          # [K, 128], shared
+            )                                          # [KW, 128], shared
             for c in range(3):
-                xint_c = xint_t[c * band_rows : (c + 1) * band_rows, :]
+                xint_c = xint_t[c * win_rows : (c + 1) * win_rows, :]
                 outs[c].append(
                     jnp.sum(xint_c * sel, axis=0, keepdims=True)
                 )                                      # [1, 128]
@@ -125,10 +156,10 @@ def _fwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
     jax.lax.fori_loop(0, num_tiles // 8, tile8, 0)
 
 
-def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
-                wy1_ref, dr_ref, dg_ref, db_ref, dx_out, dy_out, band, *,
-                num_tiles, band_rows, plane_rows, width, col_band,
-                num_blocks):
+def _bwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
+                k0_ref, wy1_ref, dr_ref, dg_ref, db_ref, dx_out, dy_out,
+                band, *, num_tiles, band_rows, win_rows, plane_rows, width,
+                col_band, num_blocks):
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
@@ -138,10 +169,11 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
         ]
 
     banded = col_band < width
+    windowed = win_rows < band_rows
     iw_t = jax.lax.broadcasted_iota(jnp.int32, (col_band, LANES), 0)
-    # single-channel-band iota: masks are built once over [K, 128] and
+    # single-channel-window iota: masks are built once over [KW, 128] and
     # shared across channels (channels read static slices of xint_t)
-    ik_t = jax.lax.broadcasted_iota(jnp.int32, (band_rows, LANES), 0)
+    ik_t = jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0)
 
     def tile8(ii, carry):
         base = pl.multiple_of(ii * 8, 8)
@@ -158,14 +190,24 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             k0r = k08[r : r + 1, :]
             wy1r = wy18[r : r + 1, :]
             doutr = [d[r : r + 1, :] for d in d8]      # [1, 128] each
+            idx = (b * num_blocks + t) * num_tiles + base + r
             if banded:
-                c0 = pl.multiple_of(
-                    c0_ref[(b * num_blocks + t) * num_tiles + base + r],
-                    LANES,
-                )
-                band_r = band[:, pl.ds(c0, col_band)]  # [4K, WB]
+                c0 = pl.multiple_of(c0_ref[idx], LANES)
+                cols = pl.ds(c0, col_band)
             else:
-                band_r = band[:, :]
+                cols = pl.ds(0, width)
+            if windowed:
+                r0 = pl.multiple_of(r0_ref[idx], 16)
+            else:
+                r0 = 0
+            band_r = jnp.concatenate(
+                [
+                    band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
+                               win_rows), cols]
+                    for c in range(3)
+                ],
+                axis=0,
+            )                                          # [3KW, WB]
             onehot_t = (
                 jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
                 + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
@@ -174,10 +216,10 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
                 band_r, onehot_t,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [4K, 128]
-            v0 = (k0r >= 0) & (k0r <= band_rows - 1)
-            v1 = (k0r + 1 >= 0) & (k0r + 1 <= band_rows - 1)
-            m0 = jnp.where((ik_t == k0r) & v0, 1.0, 0.0)       # [K, 128]
+            )                                          # [3KW, 128]
+            v0 = (k0r >= 0) & (k0r <= win_rows - 1)
+            v1 = (k0r + 1 >= 0) & (k0r + 1 <= win_rows - 1)
+            m0 = jnp.where((ik_t == k0r) & v0, 1.0, 0.0)       # [KW, 128]
             m1 = jnp.where((ik_t == k0r + 1) & v1, 1.0, 0.0)
             # dxint rows for channel c = dout_c * (m0*(1-wy1) + m1*wy1):
             # the weight pattern w is channel-independent
@@ -185,13 +227,13 @@ def _bwd_kernel(starts_ref, c0_ref, planes_ref, x0_ref, wx1_ref, k0_ref,
             dy = jnp.zeros((1, LANES), jnp.float32)
             dxint_blocks = []
             for c in range(3):
-                xint_c = xint_t[c * band_rows : (c + 1) * band_rows, :]
+                xint_c = xint_t[c * win_rows : (c + 1) * win_rows, :]
                 tap0 = jnp.sum(xint_c * m0, axis=0, keepdims=True)
                 tap1 = jnp.sum(xint_c * m1, axis=0, keepdims=True)
                 # out_c = (1-wy1)*tap0 + wy1*tap1 -> d/dwy1 = tap1 - tap0
                 dy = dy + doutr[c] * (tap1 - tap0)
                 dxint_blocks.append(w * doutr[c])
-            dxint_t = jnp.concatenate(dxint_blocks, axis=0)  # [3K, 128]
+            dxint_t = jnp.concatenate(dxint_blocks, axis=0)  # [3KW, 128]
             d_onehot_t = jax.lax.dot_general(
                 band_r, dxint_t.astype(jnp.bfloat16),
                 (((0,), (0,)), ((), ())),
@@ -227,6 +269,29 @@ def resolve_col_band(width: int, col_band) -> int:
             or col_band % LANES != 0:
         return width
     return col_band
+
+
+def _row_window_starts(
+    k0_t: jax.Array, band_rows: int, win_rows: int
+) -> jax.Array:
+    """16-aligned per-tile row-window starts from band-relative tap rows.
+
+    k0_t: [B, T, NT, 128] int32 band-relative y-tap indices (tap0). The
+    window [r0, r0+win_rows) is anchored at the largest 16-multiple at or
+    below the tile's minimum in-band tap (tap1 = k0+1 included via the
+    k0 >= -1 bound), clipped into the band. A tile's taps span only its
+    output row's horizontal flow variation, so win_rows=32 has far more
+    slack than the alignment-shifted k0 range (~rows + pad + 15 rows)
+    ever uses in practice; taps outside the window read zero exactly like
+    out-of-band taps, and `col_coverage` accounts for them."""
+    big = jnp.int32(1 << 20)
+    in_band = (k0_t >= -1) & (k0_t <= band_rows - 1)
+    k0_min = jnp.min(jnp.where(in_band, k0_t, big), axis=-1)
+    r0 = jnp.clip(
+        jnp.floor_divide(k0_min, 16) * 16, 0, band_rows - win_rows
+    )
+    r0 = jnp.where(k0_min == big, 0, r0)
+    return jax.lax.stop_gradient(r0.astype(jnp.int32))
 
 
 def _column_window_starts(x_t: jax.Array, width: int, wb: int) -> jax.Array:
@@ -329,19 +394,32 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     # beyond ~batch 36 (observed at b48: 1.7 MB > 1 MB)
     c0s = c0s.reshape(batch * num_blocks * num_tiles)
 
+    # Per-tile row window (see WIN_ROWS): only when the band is 16-row
+    # sliceable with at least one 16-step of play; otherwise the window
+    # IS the band and r0 stays 0 everywhere.
+    if band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16:
+        win_rows = WIN_ROWS
+        r0s = _row_window_starts(k0_t, band_rows, win_rows)  # [B, T, NT]
+        k0_t = k0_t - r0s[..., None]                   # window-relative
+        r0s = r0s.reshape(batch * num_blocks * num_tiles)
+    else:
+        win_rows = band_rows
+        r0s = jnp.zeros((batch * num_blocks * num_tiles,), jnp.int32)
+
     shape = dict(
         batch=batch, height=height, width=width, rows=rows,
-        band_rows=band_rows, plane_rows=plane_rows, num_blocks=num_blocks,
-        num_tiles=num_tiles, out_h=out_h, col_band=wb,
+        band_rows=band_rows, win_rows=win_rows, plane_rows=plane_rows,
+        num_blocks=num_blocks, num_tiles=num_tiles, out_h=out_h,
+        col_band=wb,
     )
-    return starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape
+    return starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape
 
 
 def _tile_spec(shape):
     # index maps under PrefetchScalarGridSpec receive the scalar refs too
     return pl.BlockSpec(
         (1, 1, shape["num_tiles"], LANES),
-        lambda b, t, starts, c0s: (b, t, 0, 0),
+        lambda b, t, starts, c0s, r0s: (b, t, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -349,7 +427,7 @@ def _tile_spec(shape):
 def _plane_spec(shape):
     return pl.BlockSpec(
         (1, 3 * shape["plane_rows"], shape["width"]),
-        lambda b, t, starts, c0s: (b, 0, 0),
+        lambda b, t, starts, c0s, r0s: (b, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -357,7 +435,7 @@ def _plane_spec(shape):
 def _grid_spec(shape, num_inputs, num_outputs):
     tile = _tile_spec(shape)
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(shape["batch"], shape["num_blocks"]),
         in_specs=[_plane_spec(shape)] + [tile] * num_inputs,
         out_specs=[tile] * num_outputs,
@@ -404,21 +482,22 @@ def grid_sample_mxu_fused(
 def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None):
     if interpret is None:
         interpret = not _on_tpu()
-    starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
+    starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
         img, grid, band_pad, rows_per_block, col_band
     )
     # materialize kernel operands in canonical layout: without this,
     # jit-fused producers hand Mosaic non-default layouts and the kernel
     # reads garbage (observed on v5e: eager exact, jitted wrong)
-    starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t = (
+    starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t = (
         jax.lax.optimization_barrier(
-            (starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t)
+            (starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t)
         )
     )
     kernel = functools.partial(
         _fwd_kernel,
         num_tiles=shape["num_tiles"],
         band_rows=shape["band_rows"],
+        win_rows=shape["win_rows"],
         plane_rows=shape["plane_rows"],
         width=shape["width"],
         col_band=shape["col_band"],
@@ -430,7 +509,7 @@ def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None):
         grid_spec=_grid_spec(shape, num_inputs=4, num_outputs=3),
         out_shape=[tiles_shape] * 3,
         interpret=interpret,
-    )(starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t)
+    )(starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t)
     out = jnp.stack(
         [_untile(c, shape) for c in (out_r, out_g, out_b)], axis=-1
     ).astype(img.dtype)
@@ -442,7 +521,7 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
     img, grid = residuals
     if interpret is None:
         interpret = not _on_tpu()
-    starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
+    starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
         img, grid, band_pad, rows_per_block, col_band
     )
     batch, height, width = shape["batch"], shape["height"], shape["width"]
@@ -462,6 +541,7 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
         _bwd_kernel,
         num_tiles=shape["num_tiles"],
         band_rows=shape["band_rows"],
+        win_rows=shape["win_rows"],
         plane_rows=shape["plane_rows"],
         width=width,
         col_band=shape["col_band"],
@@ -473,7 +553,7 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
         grid_spec=_grid_spec(shape, num_inputs=7, num_outputs=2),
         out_shape=[tiles_shape] * 2,
         interpret=interpret,
-    )(starts, c0s, planes, x0_t, wx1_t, k0_t, wy1_t, *douts)
+    )(starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, *douts)
     dx = _untile(dx_t, shape)
     dy = _untile(dy_t, shape)
     # x = (gx+1)/2*(W-1); y = (gy+1)/2*(H-1)
@@ -490,17 +570,25 @@ def col_coverage(
     grid: jax.Array,
     col_band: int | None = None,
     rows_per_block: int = 8,
+    band_pad: int = 12,
 ) -> jax.Array:
-    """Fraction of in-image sample points inside the per-tile column window.
+    """Fraction of in-image/in-band taps the kernel's per-tile windows keep.
 
-    1.0 means column banding drops nothing for this grid (the horizontal
-    analog of `ops.resample.band_coverage`). Returns 1.0 when banding is
-    disabled for this width."""
+    Covers BOTH window approximations of grid_sample_mxu_fused: the
+    column window (col_band source columns per 128-pixel tile) and the
+    row window (WIN_ROWS band rows per tile), each recomputed with the
+    exact `_column_window_starts` / `_row_window_starts` the kernel uses.
+    1.0 means windowing drops nothing for this grid (the vertical-band
+    approximation itself is monitored separately by
+    `ops.resample.band_coverage`). Returns 1.0 when both windows are
+    disabled for this shape."""
     batch, height, width, _ = grid.shape
     wb = resolve_col_band(width, col_band)
-    if wb >= width:
-        return jnp.ones(())
     rows = rows_per_block
+    band_rows = rows + 2 * band_pad + 16
+    row_windowed = band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16
+    if wb >= width and not row_windowed:
+        return jnp.ones(())
     pad_h = (-height) % rows
     if pad_h:
         grid = jnp.pad(grid, ((0, 0), (0, pad_h), (0, 0), (0, 0)),
@@ -508,26 +596,74 @@ def col_coverage(
     num_blocks = (height + pad_h) // rows
     rw = rows * width
     num_tiles = rw // LANES
+
+    def to_tiles(a):
+        return a.reshape(batch, num_blocks, num_tiles, LANES)
+
     x = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (width - 1)
-    x_t = x.reshape(batch, num_blocks, num_tiles, LANES)
-    valid = (x_t > -1.0) & (x_t < width)
-    c0s = _column_window_starts(x_t, width, wb)  # the kernel's exact windows
+    x_t = to_tiles(x)
     x0_abs = jnp.floor(x_t).astype(jnp.int32)
-    x0 = x0_abs - c0s[..., None]
-    # per tap: must be inside the window unless it is out of the IMAGE
-    # (out-of-image taps contribute zero in the full-width kernel too)
-    tap0_ok = ((x0 >= 0) & (x0 <= wb - 1)) | (x0_abs < 0) | (
-        x0_abs > width - 1
-    )
-    tap1_ok = ((x0 + 1 >= 0) & (x0 + 1 <= wb - 1)) | (x0_abs + 1 < 0) | (
-        x0_abs + 1 > width - 1
-    )
-    # normalize by the in-image count (out-of-image taps read zero in the
-    # full-width kernel too — neither covered nor dropped)
-    ok = (tap0_ok & tap1_ok) & valid
-    # only the first `height` output rows are real
-    ok = ok.reshape(batch, num_blocks * rows, width)[:, :height]
-    valid_rows = valid.reshape(batch, num_blocks * rows, width)[:, :height]
-    return jnp.sum(ok.astype(jnp.float32)) / jnp.maximum(
-        jnp.sum(valid_rows.astype(jnp.float32)), 1.0
-    )
+    if wb < width:
+        c0s = _column_window_starts(x_t, width, wb)  # the kernel's windows
+        x0 = x0_abs - c0s[..., None]
+        # per tap: must be inside the window unless it is out of the IMAGE
+        # (out-of-image taps contribute zero in the full-width kernel too)
+        xok = [
+            ((x0 + d >= 0) & (x0 + d <= wb - 1))
+            | (x0_abs + d < 0) | (x0_abs + d > width - 1)
+            for d in (0, 1)
+        ]
+    else:
+        xok = [jnp.ones(x_t.shape, bool)] * 2
+    xvalid = [
+        (x0_abs + d >= 0) & (x0_abs + d <= width - 1) for d in (0, 1)
+    ]
+    x_in_image = (x_t > -1.0) & (x_t < width)
+
+    y = (grid[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (height - 1)
+    if row_windowed:
+        # replicate _prepare's band-relative tap rows exactly
+        y0 = jnp.floor(y).astype(jnp.int32)
+        centers = _block_flow_centers(y, height, rows, num_blocks)
+        plane_rows = -(-(height + 2 * band_pad) // 16) * 16
+        max_start = max(plane_rows - band_rows, 0)
+        starts = jnp.clip(
+            jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
+        ).astype(jnp.int32)
+        starts = (starts // 16) * 16
+        k0_t = to_tiles(
+            (
+                y0.reshape(batch, num_blocks, rw)
+                + band_pad
+                - starts[..., None]
+            ).astype(jnp.int32)
+        )
+        r0s = _row_window_starts(k0_t, band_rows, WIN_ROWS)
+        k0 = k0_t - r0s[..., None]
+        yok = [
+            ((k0 + d >= 0) & (k0 + d <= WIN_ROWS - 1))
+            | (k0_t + d < 0) | (k0_t + d > band_rows - 1)
+            for d in (0, 1)
+        ]
+        yvalid = [
+            (k0_t + d >= 0) & (k0_t + d <= band_rows - 1) for d in (0, 1)
+        ]
+    else:
+        yok = [jnp.ones(x_t.shape, bool)] * 2
+        yvalid = [jnp.ones(x_t.shape, bool)] * 2
+
+    # all four bilinear taps: retained iff both 1-D windows keep them;
+    # normalize by taps the windowless banded kernel would read (neither
+    # out-of-image-x nor out-of-band-y taps count either way)
+    covered = jnp.zeros((), jnp.float32)
+    total = jnp.zeros((), jnp.float32)
+    real = jnp.zeros(x_t.shape, bool)
+    real = real.reshape(batch, num_blocks * rows, width)
+    real = real.at[:, :height].set(True).reshape(x_t.shape)
+    for dx in range(2):
+        for dy in range(2):
+            valid = xvalid[dx] & x_in_image & yvalid[dy] & real
+            ok = xok[dx] & yok[dy] & valid
+            covered += jnp.sum(ok.astype(jnp.float32))
+            total += jnp.sum(valid.astype(jnp.float32))
+    return covered / jnp.maximum(total, 1.0)
