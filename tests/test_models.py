@@ -81,6 +81,45 @@ class TestTorchLayers:
                 np.asarray(g1), np.asarray(g2), atol=1e-5
             )
 
+    def test_conv3x3_pre_upsample2x_matches_unfused(self):
+        # pre_upsample2x folds conv3x3(upsample2x_nearest(x)) into one
+        # half-res 4-phase conv + depth-to-space (models/layers.py
+        # _up2_phase_kernel); identical params under Conv_0 and identical
+        # math up to float reassociation, fwd and bwd
+        from unsupervised_pseuso_lidar_tpu.models.layers import Conv3x3
+        from unsupervised_pseuso_lidar_tpu.ops.resample import upsample2x_nearest
+
+        for shape in [(2, 6, 10, 4), (1, 3, 5, 2), (1, 1, 4, 3)]:
+            x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
+            ref_mod = Conv3x3(7)
+            fus_mod = Conv3x3(7, pre_upsample2x=True)
+            variables = ref_mod.init(
+                jax.random.PRNGKey(2), upsample2x_nearest(x)
+            )
+            assert (
+                fus_mod.init(jax.random.PRNGKey(2), x)["params"][
+                    "Conv_0"
+                ]["kernel"].shape
+                == variables["params"]["Conv_0"]["kernel"].shape
+            )
+            ref = ref_mod.apply(variables, upsample2x_nearest(x))
+            got = fus_mod.apply(variables, x)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5
+            )
+            g1 = jax.grad(
+                lambda t: jnp.sum(
+                    jnp.sin(ref_mod.apply(variables, upsample2x_nearest(t)))
+                )
+            )(x)
+            g2 = jax.grad(
+                lambda t: jnp.sum(jnp.sin(fus_mod.apply(variables, t)))
+            )(x)
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), atol=2e-5
+            )
+
     def test_conv_matches_torch(self):
         torch = pytest.importorskip("torch")
         x = RNG.uniform(-1, 1, (2, 12, 16, 5)).astype(np.float32)

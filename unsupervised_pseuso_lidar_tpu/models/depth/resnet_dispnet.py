@@ -124,10 +124,18 @@ class DepthDecoder(nn.Module):
         x = input_features[-1]
         for i in range(4, -1, -1):
             x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
-            x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
+                x = upsample2x_nearest(x)
                 x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
-            x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
+                x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
+            else:
+                # no skip concat between upsample and conv: fuse the
+                # upsample into the conv (half-res phase conv — the
+                # full-res [B, 2h, 2w, C] activation never materializes;
+                # identical parameters and math, models/layers.Conv3x3)
+                x = ConvBlock(
+                    num_ch_dec[i], pre_upsample2x=True, dtype=self.dtype
+                )(x)
             if i in self.scales:
                 outputs[i] = nn.sigmoid(
                     Conv3x3(self.num_output_channels, dtype=self.dtype)(x)

@@ -99,6 +99,61 @@ class TorchConvTranspose(nn.Module):
         return out
 
 
+class _ConvParams(nn.Module):
+    """Bare 3x3 conv parameters under the same scope/leaf names as
+    nn.Conv, so modules that need raw kernel access (the fused
+    upsample+conv path) stay checkpoint-path-compatible with the nn.Conv
+    they replace (train/checkpoint.py maps .../Conv_0/{kernel,bias})."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+def _up2_phase_kernel(w: jax.Array) -> jax.Array:
+    """Collapse conv3x3 ∘ nearest-up2 into one half-res conv kernel.
+
+    Nearest upsampling duplicates source pixels, so the 3 conv taps of an
+    output row 2i+a land on just TWO source rows with pre-summed weights:
+    a=0 -> rows (i-1: w0, i: w1+w2); a=1 -> rows (i: w0+w1, i+1: w2) —
+    and likewise along columns. Embedding each phase's 2x2 collapsed
+    kernel into the shared 3x3 window over source pixels gives one conv
+    with 4x the output channels at HALF resolution, followed by
+    depth-to-space. w: [3, 3, ci, co] -> [3, 3, ci, 4*co] with phase
+    order (a, b) major."""
+    rows = {
+        0: ((0, w[0]), (1, w[1] + w[2])),
+        1: ((1, w[0] + w[1]), (2, w[2])),
+    }
+    phases = []
+    for a in (0, 1):
+        r = jnp.zeros_like(w)
+        for slot, wk in rows[a]:
+            r = r.at[slot].set(wk)
+        cols = {
+            0: ((0, r[:, 0]), (1, r[:, 1] + r[:, 2])),
+            1: ((1, r[:, 0] + r[:, 1]), (2, r[:, 2])),
+        }
+        for b in (0, 1):
+            c = jnp.zeros_like(r)
+            for slot, wk in cols[b]:
+                c = c.at[:, slot].set(wk)
+            phases.append(c)
+    return jnp.concatenate(phases, axis=-1)
+
+
 class Conv3x3(nn.Module):
     """Reflection-pad-1 + 3x3 conv.
 
@@ -111,14 +166,27 @@ class Conv3x3(nn.Module):
     b12 train step, 100x the conv's own FLOPs) and the border ring is
     recomputed exactly from reflect-padded 2-row/2-column strips with the
     same kernel, written back via thin dynamic-update-slices. Identical
-    math: every output pixel is the same 3x3 MAC over the same values."""
+    math: every output pixel is the same 3x3 MAC over the same values.
+
+    pre_upsample2x: compute conv3x3(upsample2x_nearest(x)) from the
+    HALF-resolution input in one fused half-res conv with 4 phase-channel
+    groups + depth-to-space (see _up2_phase_kernel) — the upsampled
+    tensor never materializes, the conv runs at 1/4 the positions with
+    4x the output lanes (C=64 instead of 16 at the decoder tail), and the
+    per-phase weight pre-sums mean fewer FLOPs than the full-res conv.
+    Same math modulo float reassociation; border ring recomputed exactly
+    as above from upsampled edge strips. Parameters live under Conv_0
+    exactly like the unfused path, so checkpoints are interchangeable."""
 
     features: int
     use_refl: bool = True
+    pre_upsample2x: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
+        if self.pre_upsample2x:
+            return self._up2_fused(x)
         conv = nn.Conv(
             self.features,
             (3, 3),
@@ -144,18 +212,80 @@ class Conv3x3(nn.Module):
         full = jax.lax.dynamic_update_slice_in_dim(full, left, 0, axis=2)
         return jax.lax.dynamic_update_slice_in_dim(full, right, width - 1, axis=2)
 
+    def _up2_fused(self, x):
+        if not self.use_refl:
+            raise NotImplementedError("pre_upsample2x requires use_refl")
+        batch, height, width, cin = x.shape
+        kernel, bias = _ConvParams(self.features, cin, name="Conv_0")()
+        dtype = self.dtype or x.dtype
+        co = self.features
+
+        # bulk: one half-res conv, zero pad (ring fixed below)
+        pk = _up2_phase_kernel(kernel).astype(dtype)
+        out4 = jax.lax.conv_general_dilated(
+            x.astype(dtype), pk,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [B, h, w, 4co], phase (a, b) major
+        full = (
+            out4.reshape(batch, height, width, 2, 2, co)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(batch, 2 * height, 2 * width, co)
+        )
+        full = full + bias.astype(dtype)
+
+        # border ring: exact reflect-pad values from upsampled edge strips
+        k = kernel.astype(dtype)
+
+        def conv_strip(strip):
+            out = jax.lax.conv_general_dilated(
+                strip.astype(dtype), k,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out + bias.astype(dtype)
+
+        def up2(a):
+            a = jnp.repeat(a, 2, axis=1)
+            return jnp.repeat(a, 2, axis=2)
+
+        top = conv_strip(reflect_pad1(up2(x[:, :1])))[:, :1]
+        bottom = conv_strip(reflect_pad1(up2(x[:, -1:])))[:, -1:]
+        left = conv_strip(reflect_pad1(up2(x[:, :, :1])))[:, :, :1]
+        right = conv_strip(reflect_pad1(up2(x[:, :, -1:])))[:, :, -1:]
+        full = jax.lax.dynamic_update_slice_in_dim(full, top, 0, axis=1)
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, bottom, 2 * height - 1, axis=1
+        )
+        full = jax.lax.dynamic_update_slice_in_dim(full, left, 0, axis=2)
+        return jax.lax.dynamic_update_slice_in_dim(
+            full, right, 2 * width - 1, axis=2
+        )
+
 
 class ConvBlock(nn.Module):
     """Conv3x3 (reflect pad) + ELU.
 
-    Parity: /root/reference/models/layers.py:22-34."""
+    Parity: /root/reference/models/layers.py:22-34.
+
+    pre_upsample2x: fuse a preceding nearest 2x upsample into the conv
+    (see Conv3x3.pre_upsample2x) — same parameters, same math."""
 
     features: int
+    pre_upsample2x: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.elu(Conv3x3(self.features, dtype=self.dtype)(x))
+        return nn.elu(
+            Conv3x3(
+                self.features,
+                pre_upsample2x=self.pre_upsample2x,
+                dtype=self.dtype,
+            )(x)
+        )
 
 
 class DownsampleConvBN(nn.Module):
