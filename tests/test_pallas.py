@@ -149,6 +149,34 @@ class TestFusedWarp:
             np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
         )
 
+    def test_row_window_centering_survives_outlier_taps(self):
+        # Regression: the row window is CENTERED on the tile's mean tap.
+        # A min-anchored window snaps to a single large-negative-y outlier
+        # and drops the majority of the tile's taps (observed with an
+        # untrained depth net: retention 0.73, training stuck in the
+        # constant-depth basin). With sparse outliers the centered window
+        # must keep near-full coverage and match the band-matmul warp on
+        # everything the band keeps.
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            col_coverage,
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+
+        jax, img, grid = self._case(batch=2, height=16, width=128)
+        g = np.array(grid)
+        # one huge-y outlier per 64 pixels (out of band entirely)
+        mask = RNG.uniform(size=g.shape[:-1]) < 1.0 / 64.0
+        g[..., 1] = np.where(mask, g[..., 1] - 3.0, g[..., 1])
+        grid = jnp.asarray(g, jnp.float32)
+        cov = float(col_coverage(grid, None, 8, 12))
+        assert cov > 0.95, f"outliers must not steal the row window: {cov}"
+        ref = grid_sample_mxu(img, grid, band_pad=12)
+        got = grid_sample_mxu_fused(img, grid, 12, 8, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+        )
+
     def test_col_coverage_degrades_out_of_window(self):
         # a spread wider than the window tolerance must be flagged < 1
         from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage

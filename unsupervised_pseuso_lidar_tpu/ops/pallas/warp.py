@@ -277,20 +277,26 @@ def _row_window_starts(
     """16-aligned per-tile row-window starts from band-relative tap rows.
 
     k0_t: [B, T, NT, 128] int32 band-relative y-tap indices (tap0). The
-    window [r0, r0+win_rows) is anchored at the largest 16-multiple at or
-    below the tile's minimum in-band tap (tap1 = k0+1 included via the
-    k0 >= -1 bound), clipped into the band. A tile's taps span only its
-    output row's horizontal flow variation, so win_rows=32 has far more
-    slack than the alignment-shifted k0 range (~rows + pad + 15 rows)
-    ever uses in practice; taps outside the window read zero exactly like
+    window [r0, r0+win_rows) is CENTERED on the mean in-band tap of the
+    tile (nearest 16-multiple, clipped into the band), mirroring
+    `_column_window_starts` — centering keeps the majority of taps when
+    the tile's y-span exceeds the window. (An earlier min-anchored
+    variant let a single outlier tap snap the window away from the
+    majority: with an untrained depth net the per-tile y-span is 40-85
+    rows, retention collapsed to ~0.73, and training could not escape
+    the constant-depth basin — mean-centering restores band-level
+    retention there.) Taps outside the window read zero exactly like
     out-of-band taps, and `col_coverage` accounts for them."""
-    big = jnp.int32(1 << 20)
     in_band = (k0_t >= -1) & (k0_t <= band_rows - 1)
-    k0_min = jnp.min(jnp.where(in_band, k0_t, big), axis=-1)
+    cnt = jnp.sum(in_band, axis=-1)
+    mean_k0 = jnp.sum(
+        jnp.where(in_band, k0_t, 0), axis=-1
+    ) / jnp.maximum(cnt, 1)
+    r0_raw = (mean_k0 - (win_rows - 1) / 2.0) / 16.0
     r0 = jnp.clip(
-        jnp.floor_divide(k0_min, 16) * 16, 0, band_rows - win_rows
+        jnp.round(r0_raw).astype(jnp.int32) * 16, 0, band_rows - win_rows
     )
-    r0 = jnp.where(k0_min == big, 0, r0)
+    r0 = jnp.where(cnt > 0, r0, 0)
     return jax.lax.stop_gradient(r0.astype(jnp.int32))
 
 
