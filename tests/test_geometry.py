@@ -375,3 +375,37 @@ class TestInverseWarp:
         assert np.isfinite(np.asarray(grads[0])).all()
         assert np.isfinite(np.asarray(grads[1])).all()
         assert float(jnp.abs(grads[0]).sum()) > 0
+
+
+class TestDecomposeProjection:
+    """decompose_projection: P = K [R | t] round-trips (the reference's
+    generic-sequence factor_P, notes/toy_problem/dataloaders.py:37-54)."""
+
+    def test_round_trip(self):
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry import (
+            decompose_projection,
+        )
+        from unsupervised_pseuso_lidar_tpu.geometry.se3 import euler2mat
+
+        rng = np.random.default_rng(3)
+        for scale in (1.0, -2.7, 0.013):
+            k_true = np.array(
+                [[720.0, 0.5, 320.0], [0.0, 700.0, 96.0], [0.0, 0.0, 1.0]]
+            )
+            angles = rng.uniform(-0.8, 0.8, 3).astype(np.float32)
+            r_true = np.asarray(
+                euler2mat(angles[None])[0], dtype=np.float64
+            )
+            t_true = rng.uniform(-2, 2, 3)
+            proj = scale * (k_true @ np.hstack([r_true, t_true[:, None]]))
+            k, r, t = decompose_projection(proj)
+            # float32 euler2mat bounds the achievable tolerance;
+            # K normalized so K[2,2] == 1 for comparison
+            k_n = k / k[2, 2]
+            np.testing.assert_allclose(k_n, k_true, atol=1e-3)
+            np.testing.assert_allclose(r, r_true, atol=1e-5)
+            np.testing.assert_allclose(t, t_true, atol=1e-4)
+            assert np.linalg.det(r) > 0
+            assert (np.diag(k) > 0).all()

@@ -14,7 +14,10 @@ from unsupervised_pseuso_lidar_tpu.geometry.camera import (
     scale_intrinsics,
 )
 from unsupervised_pseuso_lidar_tpu.geometry.warp import inverse_warp, disp_to_depth
-from unsupervised_pseuso_lidar_tpu.geometry.calibration import Calibration
+from unsupervised_pseuso_lidar_tpu.geometry.calibration import (
+    Calibration,
+    decompose_projection,
+)
 from unsupervised_pseuso_lidar_tpu.geometry import oxts
 
 __all__ = [
@@ -32,5 +35,6 @@ __all__ = [
     "inverse_warp",
     "disp_to_depth",
     "Calibration",
+    "decompose_projection",
     "oxts",
 ]

@@ -18,7 +18,7 @@ Exposes, for KITTI raw-format calib directories:
 from __future__ import annotations
 
 import os
-from typing import Dict
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -65,6 +65,50 @@ def inverse_rigid_transform(transform: np.ndarray) -> np.ndarray:
     if transform.shape[0] == 4:
         out[3, 3] = 1.0
     return out
+
+
+def decompose_projection(
+    proj: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Factor a 3x4 camera projection matrix into P = K [R | t].
+
+    RQ-decomposes P[:, :3] (via numpy QR on the row/column-reversed
+    matrix — no scipy dependency), then fixes signs so diag(K) > 0 and
+    det(R) = +1, and recovers t = K^-1 P[:, 3].
+
+    Capability parity: the reference's generic-sequence path factors
+    projection matrices the same way for non-KITTI data
+    (/root/reference/notes/toy_problem/dataloaders.py:37-54 `factor_P`,
+    scipy.linalg.rq + sign fix; also the MATLAB helper
+    /root/reference/notes/toy_problem/utils/decomposeP.m). The
+    reference's python copy has a dead typo (`torch.fron_numpy`); this
+    implements the intended math.
+
+    Returns:
+      (K [3,3] upper-triangular with positive diagonal, R [3,3] with
+      det +1, t [3]) such that K @ np.hstack([R, t[:, None]]) ~ proj
+      (up to the overall projective scale of the input).
+    """
+    proj = np.asarray(proj, dtype=np.float64).reshape(3, 4)
+    m = proj[:, :3]
+    # RQ via QR: reverse rows/cols, QR the transpose, reverse back
+    rev = np.eye(3)[::-1]
+    q, r = np.linalg.qr((rev @ m).T)
+    k = rev @ r.T @ rev
+    rot = rev @ q.T
+    # make diag(K) positive (absorb sign flips into R)
+    sign = np.diag(np.sign(np.diag(k)))
+    k = k @ sign
+    rot = sign @ rot  # sign is its own inverse
+    # det(R) must be +1; negating R (and t) flips the overall projective
+    # scale of P, which is the same camera, and keeps diag(K) positive
+    if np.linalg.det(rot) < 0:
+        rot = -rot
+        sign_t = -1.0
+    else:
+        sign_t = 1.0
+    t = np.linalg.solve(k, sign_t * proj[:, 3])
+    return k, rot, t
 
 
 class Calibration:
