@@ -265,9 +265,19 @@ def main():
     )
     s16 = state16
     num_conv_steps = 1500
+    # worst-case warp-window retention across the WHOLE run, accumulated
+    # on-device (no per-step sync). The early-training transient is where
+    # windowing approximations bite (untrained depth -> 40-85-row tile
+    # y-spans); a dip here with a flat loss is the signature of the
+    # min-anchored-window collapse this row once caught.
+    cov_min = jnp.ones(())
     for i in range(num_conv_steps):
         s16, m16 = conv_step(s16, conv_batches[i % 10])
+        for key in ("band_coverage", "col_coverage"):
+            if key in m16:
+                cov_min = jnp.minimum(cov_min, m16[key])
     hard_sync((s16, m16))
+    report["synthetic_slant_min_warp_coverage"] = round(float(cov_min), 4)
     eval_raw = synthetic_triplet_batch(8, height, width, seed=99, slant_deg=10.0)
 
     @jax.jit

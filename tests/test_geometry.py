@@ -409,3 +409,49 @@ class TestDecomposeProjection:
             np.testing.assert_allclose(t, t_true, atol=1e-4)
             assert np.linalg.det(r) > 0
             assert (np.diag(k) > 0).all()
+
+    def test_chirality_flip(self):
+        """`front_point` repairs cameras whose canonical decomposition
+        puts the scene at negative depth (the Oxford dino turntable
+        case, notes/toy_problem/dataloaders.py:37-54)."""
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry import (
+            decompose_projection,
+        )
+        from unsupervised_pseuso_lidar_tpu.geometry.se3 import euler2mat
+
+        rng = np.random.default_rng(7)
+        k_true = np.array(
+            [[720.0, 0.0, 320.0], [0.0, 700.0, 96.0], [0.0, 0.0, 1.0]]
+        )
+        angles = rng.uniform(-0.8, 0.8, 3).astype(np.float32)
+        r_true = np.asarray(euler2mat(angles[None])[0], dtype=np.float64)
+        t_true = np.array([0.3, -0.2, -4.0])
+        # an OpenGL-convention camera: the scene sits at NEGATIVE z of
+        # (R, t) — exactly what the Oxford turntable matrices encode.
+        # The canonical diag(K)>0, det(R)=+1 decomposition reproduces
+        # (R, t) and therefore keeps the scene behind the camera.
+        proj = k_true @ np.hstack([r_true, t_true[:, None]])
+        front_cam = np.array([0.1, 0.2, -0.5])  # z_cam ~ -4.5
+        front = r_true.T @ (front_cam - t_true)  # same point, world frame
+
+        k0, r0, t0 = decompose_projection(proj)
+        assert (r0[2] @ front + t0[2]) < 0
+        k1, r1, t1 = decompose_projection(proj, front_point=front)
+        assert (r1[2] @ front + t1[2]) > 0
+        assert np.linalg.det(r1) > 0
+        assert k1[0, 0] > 0 and abs(k1[2, 2] - 1.0) < 1e-12
+        # P = K [R | t] still holds (up to overall projective scale)
+        recon = k1 @ np.hstack([r1, t1[:, None]])
+        scale = recon[2, :3] @ proj[2, :3] / (proj[2, :3] @ proj[2, :3])
+        np.testing.assert_allclose(recon, scale * proj, atol=1e-9)
+        # and both decompositions project the front point to the SAME
+        # pixel as the original matrix
+        ph = np.concatenate([front, [1.0]])
+        for k, r, t in ((k0, r0, t0), (k1, r1, t1)):
+            x = k @ (r @ front + t)
+            x_ref = proj @ ph
+            np.testing.assert_allclose(
+                x[:2] / x[2], x_ref[:2] / x_ref[2], atol=1e-9
+            )

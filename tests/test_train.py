@@ -324,6 +324,39 @@ class TestToyProblem:
         assert errors[-1] < errors[0], errors
 
 
+class TestDinoTurntable:
+    def test_loader_geometry(self):
+        # The reference's OTHER toy dataset (36 real photos, calibrated
+        # projection matrices; notes/toy_problem/dataloaders.py:32-54).
+        # Validates the chirality-fixed P = K [R | t] factorization end
+        # to end: ground-truth warps must beat the identity warp.
+        import sys, os
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "examples")
+        )
+        from dino_turntable import load_dino
+
+        data = load_dino(height=96, width=128)
+        if data is None:
+            pytest.skip("dino data or scipy unavailable")
+        num = data["tgt"].shape[0]
+        assert data["ref_imgs"].shape == (num, 2, 96, 128, 3)
+        k = data["intrinsics"]
+        assert (k[:, 0, 0] > 0).all()
+        assert np.allclose(k[:, 2, 2], 1.0)
+        # the turntable steps exactly 10 degrees (36 views / full turn):
+        # every GT relative pose must be a 2*pi/36 rotation, and the
+        # camera-to-axis distance must make the translation norms equal
+        # across the whole sequence (rigid turntable). This pins both
+        # the chirality-fixed factorization and the relative-pose chain.
+        angles = np.linalg.norm(data["oxts"][:, :, :3], axis=-1)
+        np.testing.assert_allclose(
+            angles, 2 * np.pi / 36, rtol=2e-2
+        )
+        trans = np.linalg.norm(data["oxts"][:, :, 3:], axis=-1)
+        np.testing.assert_allclose(trans, trans.mean(), rtol=5e-2)
+
+
 @pytest.mark.slow
 class TestSpatialSharding:
     def test_2d_mesh_data_spatial(self):

@@ -69,6 +69,7 @@ def inverse_rigid_transform(transform: np.ndarray) -> np.ndarray:
 
 def decompose_projection(
     proj: np.ndarray,
+    front_point: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Factor a 3x4 camera projection matrix into P = K [R | t].
 
@@ -84,8 +85,22 @@ def decompose_projection(
     reference's python copy has a dead typo (`torch.fron_numpy`); this
     implements the intended math.
 
+    Args:
+      proj: [3, 4] projection matrix (any projective scale, incl.
+        negative).
+      front_point: optional world point known to be IN FRONT of the
+        camera. Some classic multiview datasets (e.g. the Oxford
+        dinosaur turntable the reference's toy problem uses) ship
+        cameras whose canonical decomposition places the scene at
+        NEGATIVE z; when `front_point` lands behind, the decomposition
+        is chirality-flipped (D = diag(-1, 1, -1) absorbed into K and
+        R, overall scale -1) so that positive ray depth means "in
+        front". The flipped K keeps fx > 0, K[2,2] = 1 but has fy < 0
+        (a y-axis flip — harmless to backproject/project, which never
+        assume fy's sign); R stays a proper rotation.
+
     Returns:
-      (K [3,3] upper-triangular with positive diagonal, R [3,3] with
+      (K [3,3] upper-triangular with K[2,2]=1 and fx>0, R [3,3] with
       det +1, t [3]) such that K @ np.hstack([R, t[:, None]]) ~ proj
       (up to the overall projective scale of the input).
     """
@@ -108,6 +123,17 @@ def decompose_projection(
     else:
         sign_t = 1.0
     t = np.linalg.solve(k, sign_t * proj[:, 3])
+    k = k / k[2, 2]
+    if front_point is not None:
+        z = rot[2] @ np.asarray(front_point, np.float64) + t[2]
+        if z < 0:
+            # chirality flip: K' = -K D, R' = D R, t' = D t (overall
+            # projective scale -1). D = diag(-1, 1, -1) keeps fx > 0 and
+            # det(R') = +1 while negating every ray's z.
+            d = np.diag([-1.0, 1.0, -1.0])
+            k = -(k @ d)
+            rot = d @ rot
+            t = d @ t
     return k, rot, t
 
 
