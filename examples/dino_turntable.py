@@ -66,13 +66,13 @@ def load_dino(height: int = 192, width: int = 256, root: str = DINO_ROOT):
     import numpy as np
 
     try:
+        from PIL import Image
         from scipy.io import loadmat
     except ImportError:
         return None
     mat = os.path.join(root, "utils", "dino_Ps.mat")
     if not os.path.exists(mat):
         return None
-    from PIL import Image
 
     from unsupervised_pseuso_lidar_tpu.geometry.calibration import (
         decompose_projection,
@@ -92,9 +92,16 @@ def load_dino(height: int = 192, width: int = 256, root: str = DINO_ROOT):
     # transforms; mirror that, then resize to a static TPU-friendly size
     crop_w = 650
     imgs = []
+    src_h = None
     for i in range(num):
         img = Image.open(os.path.join(root, "images", f"viff.{i:03d}.ppm"))
-        src_w, src_h = img.size
+        if src_h is None:
+            src_h = img.size[1]
+        elif img.size[1] != src_h:
+            raise ValueError(
+                f"frame {i} height {img.size[1]} != {src_h}: the shared "
+                "intrinsics rescale assumes a constant frame size"
+            )
         img = img.crop((0, 0, crop_w, src_h)).resize(
             (width, height), Image.BILINEAR
         )

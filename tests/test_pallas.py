@@ -149,6 +149,39 @@ class TestFusedWarp:
             np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
         )
 
+    def test_unaligned_band_rows_fallback(self):
+        # band_pad=10 -> band_rows 8+20+16 = 44, NOT a multiple of 16:
+        # the row-window gate in _prepare disables windowing and the
+        # kernels must read the band whole (no 16-aligned dynamic slices
+        # exist for this shape). Fwd and grad vs the XLA band warp.
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+
+        jax, img, grid = self._case(batch=1, height=16, width=128)
+        ref = grid_sample_mxu(img, grid, band_pad=10)
+        got = grid_sample_mxu_fused(img, grid, 10, 8, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+        )
+
+        def loss(fn, g):
+            return jnp.mean(jnp.abs(fn(img, g) - 100.0))
+
+        g_ref = jax.grad(
+            lambda g: loss(lambda i, gg: grid_sample_mxu(i, gg, band_pad=10), g)
+        )(grid)
+        g_fus = jax.grad(
+            lambda g: loss(
+                lambda i, gg: grid_sample_mxu_fused(i, gg, 10, 8, True), g
+            )
+        )(grid)
+        scale = max(float(jnp.abs(g_ref).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
+        )
+
     def test_row_window_centering_survives_outlier_taps(self):
         # Regression: the row window is CENTERED on the tile's mean tap.
         # A min-anchored window snaps to a single large-negative-y outlier

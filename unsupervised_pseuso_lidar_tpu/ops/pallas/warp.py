@@ -115,18 +115,23 @@ def _fwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
                 cols = pl.ds(0, width)
             if windowed:
                 # per-tile row window: k0 is pre-shifted by the 16-aligned
-                # window start in _prepare
+                # window start in _prepare; band_rows is a multiple of 16
+                # whenever windowing is enabled (_prepare's gate), so the
+                # alignment hints are honest
                 r0 = pl.multiple_of(r0_ref[idx], 16)
+                band_r = jnp.concatenate(
+                    [
+                        band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
+                                   win_rows), cols]
+                        for c in range(3)
+                    ],
+                    axis=0,
+                )                                      # [3KW, WB]
             else:
-                r0 = 0
-            band_r = jnp.concatenate(
-                [
-                    band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
-                               win_rows), cols]
-                    for c in range(3)
-                ],
-                axis=0,
-            )                                          # [3KW, WB]
+                # window IS the band (win_rows == band_rows): read it
+                # whole — no dynamic row offset, no (possibly false)
+                # multiple-of-16 claim when band_rows isn't 16-aligned
+                band_r = band[:, cols]                 # [3KW, WB]
             onehot_t = (
                 jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
                 + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
@@ -198,16 +203,17 @@ def _bwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
                 cols = pl.ds(0, width)
             if windowed:
                 r0 = pl.multiple_of(r0_ref[idx], 16)
+                band_r = jnp.concatenate(
+                    [
+                        band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
+                                   win_rows), cols]
+                        for c in range(3)
+                    ],
+                    axis=0,
+                )                                      # [3KW, WB]
             else:
-                r0 = 0
-            band_r = jnp.concatenate(
-                [
-                    band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
-                               win_rows), cols]
-                    for c in range(3)
-                ],
-                axis=0,
-            )                                          # [3KW, WB]
+                # see _fwd_kernel: whole band, no false alignment claim
+                band_r = band[:, cols]                 # [3KW, WB]
             onehot_t = (
                 jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
                 + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
@@ -300,6 +306,42 @@ def _row_window_starts(
     return jax.lax.stop_gradient(r0.astype(jnp.int32))
 
 
+def _band_starts_and_taps(
+    y: jax.Array,
+    height: int,
+    rows: int,
+    num_blocks: int,
+    band_pad: int,
+    band_rows: int,
+):
+    """16-aligned per-block band starts + band-relative tap rows.
+
+    Single source of truth shared by the kernel preprocessing
+    (`_prepare`) and the `col_coverage` monitor — the monitor is only
+    truthful if both compute identical bands (same contract as
+    `_column_window_starts` / `_row_window_starts`).
+
+    y: [B, num_blocks*rows, W] unnormalized sample rows (already padded
+    to a whole number of blocks). Returns (starts [B, T], k0 [B, T,
+    rows*W] int32 band-relative tap0 rows, plane_rows).
+    """
+    batch, _, width = y.shape
+    y0 = jnp.floor(y).astype(jnp.int32)
+    centers = _block_flow_centers(y, height, rows, num_blocks)
+    plane_rows = -(-(height + 2 * band_pad) // 16) * 16
+    max_start = max(plane_rows - band_rows, 0)
+    starts = jnp.clip(
+        jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
+    ).astype(jnp.int32)  # [B, T]
+    starts = (starts // 16) * 16
+    k0 = (
+        y0.reshape(batch, num_blocks, rows * width)
+        + band_pad
+        - starts[..., None]
+    ).astype(jnp.int32)
+    return starts, k0, plane_rows
+
+
 def _column_window_starts(x_t: jax.Array, width: int, wb: int) -> jax.Array:
     """128-aligned column-window starts per coordinate tile.
 
@@ -341,13 +383,14 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     wx1 = x - x0f
     wy1 = y - y0f
     x0 = x0f.astype(jnp.int32)
-    y0 = y0f.astype(jnp.int32)
 
     # Mosaic requires dynamic sublane slices at multiple-of-16 offsets:
     # pad plane height to 16 and align band starts down to 16 (band grows
     # by 16 rows so coverage is preserved).
     band_rows = band_rows + 16
-    plane_rows = -(-(height + 2 * pad) // 16) * 16
+    starts, k0, plane_rows = _band_starts_and_taps(
+        y, height, rows, num_blocks, pad, band_rows
+    )
     # channels-first + row pad + reshape (layout-preserving) + one more
     # row-pad for the zero plane; avoids minor-dim strided channel slices,
     # which miscompile under jit on the axon v5e (observed: plane content
@@ -357,19 +400,6 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
         planes, ((0, 0), (0, 0), (pad, plane_rows - height - pad), (0, 0))
     ).reshape(batch, 3 * plane_rows, width)
     planes = planes.astype(jnp.bfloat16)  # [B, 3*Hp, W]
-
-    centers = _block_flow_centers(y, height, rows, num_blocks)
-    max_start = max(plane_rows - band_rows, 0)
-    starts = jnp.clip(
-        jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
-    ).astype(jnp.int32)  # [B, T]
-    starts = (starts // 16) * 16
-
-    k0 = (
-        y0.reshape(batch, num_blocks, rw)
-        + pad
-        - starts[..., None]
-    ).astype(jnp.int32)
 
     assert num_tiles % 8 == 0, "rows_per_block*width must be a multiple of 1024"
 
@@ -628,22 +658,11 @@ def col_coverage(
 
     y = (grid[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (height - 1)
     if row_windowed:
-        # replicate _prepare's band-relative tap rows exactly
-        y0 = jnp.floor(y).astype(jnp.int32)
-        centers = _block_flow_centers(y, height, rows, num_blocks)
-        plane_rows = -(-(height + 2 * band_pad) // 16) * 16
-        max_start = max(plane_rows - band_rows, 0)
-        starts = jnp.clip(
-            jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
-        ).astype(jnp.int32)
-        starts = (starts // 16) * 16
-        k0_t = to_tiles(
-            (
-                y0.reshape(batch, num_blocks, rw)
-                + band_pad
-                - starts[..., None]
-            ).astype(jnp.int32)
+        # _prepare's band-relative tap rows, from the SAME helper
+        _, k0_raw, _ = _band_starts_and_taps(
+            y, height, rows, num_blocks, band_pad, band_rows
         )
+        k0_t = to_tiles(k0_raw)
         r0s = _row_window_starts(k0_t, band_rows, WIN_ROWS)
         k0 = k0_t - r0s[..., None]
         yok = [
