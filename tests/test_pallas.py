@@ -210,6 +210,17 @@ class TestFusedWarp:
             np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
         )
 
+    def test_col_coverage_untileable_width_returns_one(self):
+        # widths the fused kernel can't tile (rows*W % 1024 != 0) fall
+        # back to the mxu band warp, which has no column/row windows:
+        # col_coverage must report 1.0, not crash on the tile reshape
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage
+
+        grid = jnp.zeros((1, 16, 200, 2), jnp.float32)
+        assert float(col_coverage(grid)) == 1.0
+        grid96 = jnp.zeros((1, 16, 96, 2), jnp.float32)  # rw=768: % 128 ok, % 1024 not
+        assert float(col_coverage(grid96)) == 1.0
+
     def test_col_coverage_degrades_out_of_window(self):
         # a spread wider than the window tolerance must be flagged < 1
         from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import col_coverage

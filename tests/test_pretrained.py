@@ -220,3 +220,54 @@ class TestConfigWiring:
         )
         assert config.model.depth.pretrained_path == "/x/y.pth"
         assert "pretrained_path" not in config.model.depth.kwargs
+
+    def test_pose_pretrained_path_wired(self, tmp_path):
+        # model.pose.pretrained_path must actually initialize the pose
+        # net (it used to be parsed and silently ignored). Round-trips a
+        # reference-schema PoseNet state dict through create_train_state.
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            export_torch_state,
+        )
+        from unsupervised_pseuso_lidar_tpu.train.config import Config
+        from unsupervised_pseuso_lidar_tpu.train.trainer import (
+            create_train_state,
+        )
+
+        base = {
+            "model": {
+                "name": "t",
+                "depth": {"name": "DispResNet"},
+                "pose": {"name": "PoseNet"},
+            },
+            "datasets": {
+                "augmentation": {"image_width": 96, "image_height": 64},
+                "sequence_length": 3,
+            },
+            "action": {"batch_size": 1},
+        }
+        state0, _, _, _ = create_train_state(
+            Config.from_dict(base), jax.random.PRNGKey(1), steps_per_epoch=10
+        )
+        tstate = export_torch_state(
+            state0.params["pose"], state0.batch_stats["pose"], "PoseNet"
+        )
+        # shift every tensor so the import is distinguishable from both
+        # the exporting state and a fresh random init
+        tstate = {k: np.asarray(v) + 1.0 for k, v in tstate.items()}
+        npz_path = tmp_path / "posenet_pretrained.npz"
+        np.savez(npz_path, **tstate)
+
+        cfg = dict(base)
+        cfg["model"] = {
+            **base["model"],
+            "pose": {"name": "PoseNet", "pretrained_path": str(npz_path)},
+        }
+        state, _, _, _ = create_train_state(
+            Config.from_dict(cfg), jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        out = export_torch_state(
+            state.params["pose"], state.batch_stats["pose"], "PoseNet"
+        )
+        assert set(out) == set(tstate)
+        for k, v in tstate.items():
+            np.testing.assert_allclose(out[k], v, atol=1e-5, err_msg=k)

@@ -96,15 +96,20 @@ def main(argv=None):
     with profile_ctx:
         trainer.fit(
             make_train_iter=lambda epoch: prefetch_to_device(
+                # train batches never carry GT (the trainer drops it);
+                # skipping it here avoids decoding / rasterizing GT that
+                # is thrown away, sample by sample
                 dataset.batches(train_idx, batch_size, workers,
-                                use_processes=procs),
+                                use_processes=procs,
+                                with_groundtruth=False),
                 device_put=device_put,
             ),
             make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
         )
     if args.op_breakdown:
         _op_breakdown_step(
-            trainer, next(iter(dataset.batches(train_idx, batch_size, workers)))
+            trainer, next(iter(dataset.batches(train_idx, batch_size, workers,
+                                               with_groundtruth=False)))
         )
     return trainer
 

@@ -154,6 +154,16 @@ class UnSupKittiDataset:
         return len(self.samples)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.load_sample(index, with_groundtruth=True)
+
+    def load_sample(
+        self, index: int, with_groundtruth: bool = True
+    ) -> Dict[str, np.ndarray]:
+        """One sample dict; with_groundtruth=False skips GT materialization
+        (training batches drop GT anyway, and velodyne-GT rasterization
+        dispatches to the JAX backend — per-sample wasted host time at
+        best, a fork-after-backend-init hazard in process workers at
+        worst)."""
         sample = self.samples[index]
         size = (self.img_height, self.img_width)
 
@@ -190,7 +200,7 @@ class UnSupKittiDataset:
             "intrinsics": intrinsics.astype(np.float32),
             "oxts": oxts.astype(np.float32),
         }
-        if sample.groundtruth is not None:
+        if sample.groundtruth is not None and with_groundtruth:
             if sample.groundtruth.endswith(".bin"):
                 from unsupervised_pseuso_lidar_tpu.data.velo_gt import (
                     depth_gt_from_velo,
@@ -228,6 +238,7 @@ class UnSupKittiDataset:
         drop_last: bool = True,
         use_processes: bool = False,
         lookahead: int = 2,
+        with_groundtruth: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield collated batches, loading samples with a worker pool.
 
@@ -238,34 +249,59 @@ class UnSupKittiDataset:
         DataLoader(num_workers=8) forked workers, trainer.py:187-190).
         Requires a fork-capable platform; samples are dispatched
         `lookahead` batches ahead so decode overlaps device compute.
+
+        with_groundtruth: pass False for training consumers (the trainer
+        drops GT from train batches) — it skips GT decode entirely, incl.
+        the velodyne rasterizer. When True and any sample carries .bin
+        (velodyne) GT, process workers are downgraded to threads: the
+        rasterizer dispatches to the JAX backend, which must not run in
+        children forked after backend init.
         """
         end = len(indices) - (len(indices) % batch_size if drop_last else 0)
         starts = [
             s for s in range(0, end, batch_size)
             if not (drop_last and len(indices[s : s + batch_size]) < batch_size)
         ]
+        if use_processes and with_groundtruth and any(
+            self.samples[i].groundtruth is not None
+            and self.samples[i].groundtruth.endswith(".bin")
+            for i in indices
+        ):
+            import warnings
+
+            warnings.warn(
+                "velodyne-GT rasterization dispatches to JAX and cannot "
+                "run in forked process workers; using thread workers for "
+                "this (eval) iterator instead",
+                stacklevel=2,
+            )
+            use_processes = False
         if num_workers > 1 and starts:
             if use_processes:
                 from concurrent.futures import ProcessPoolExecutor
 
                 # fork start method shares self.samples copy-on-write; the
-                # PIL/numpy __getitem__ outputs pickle cheaply back. (The
-                # velo_gt rasterizer dispatches to the jax backend — keep
-                # the default thread pool for that eval-only path.)
+                # PIL/numpy load_sample outputs pickle cheaply back
                 with ProcessPoolExecutor(max_workers=num_workers) as pool:
                     yield from self._pipelined(pool, starts, indices,
-                                               batch_size, lookahead)
+                                               batch_size, lookahead,
+                                               with_groundtruth)
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=num_workers) as pool:
                     yield from self._pipelined(pool, starts, indices,
-                                               batch_size, lookahead)
+                                               batch_size, lookahead,
+                                               with_groundtruth)
         else:
             for start in starts:
-                yield collate([self[i] for i in indices[start : start + batch_size]])
+                yield collate([
+                    self.load_sample(i, with_groundtruth)
+                    for i in indices[start : start + batch_size]
+                ])
 
-    def _pipelined(self, pool, starts, indices, batch_size, lookahead):
+    def _pipelined(self, pool, starts, indices, batch_size, lookahead,
+                   with_groundtruth=True):
         """Submit `lookahead` batches of __getitem__ futures ahead of the
         consumer so workers decode batch N+k while the device trains on N."""
         from collections import deque
@@ -279,7 +315,10 @@ class UnSupKittiDataset:
             except StopIteration:
                 return
             chunk = indices[start : start + batch_size]
-            inflight.append([pool.submit(self.__getitem__, i) for i in chunk])
+            inflight.append([
+                pool.submit(self.load_sample, i, with_groundtruth)
+                for i in chunk
+            ])
 
         for _ in range(max(1, lookahead) + 1):
             submit_next()

@@ -115,19 +115,7 @@ def load_oxts_packets_and_poses(oxts_files: Sequence[str]) -> List[np.ndarray]:
     change was left commented out at oxts_parser.py:135) — relative poses
     cancel the offset downstream.
     """
-    scale = None
-    poses: List[np.ndarray] = []
-    for filename in oxts_files:
-        with open(filename, "r") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                packet = parse_oxts_line(line)
-                if scale is None:
-                    scale = np.cos(packet.lat * np.pi / 180.0)
-                poses.append(pose_from_oxts_packet(packet, scale))
-    return poses
+    return [d.T_w_imu for d in load_oxts_data(oxts_files)]
 
 
 def load_oxts_data(oxts_files: Sequence[str]) -> List[OxtsData]:

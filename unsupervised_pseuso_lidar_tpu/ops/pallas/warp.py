@@ -621,6 +621,11 @@ def col_coverage(
     batch, height, width, _ = grid.shape
     wb = resolve_col_band(width, col_band)
     rows = rows_per_block
+    if (rows * width) % (LANES * 8) != 0:
+        # the fused kernel can't tile this shape — sample_with_impl falls
+        # back to the mxu band warp, which has no column/row windows (and
+        # the tile reshape below would fail)
+        return jnp.ones(())
     band_rows = rows + 2 * band_pad + 16
     row_windowed = band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16
     if wb >= width and not row_windowed:

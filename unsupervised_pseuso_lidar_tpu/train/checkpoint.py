@@ -503,6 +503,23 @@ def load_pretrained_depth(
     return import_pretrained_depth(flax_params, flax_batch_stats, blob)
 
 
+def load_pretrained_pose(
+    flax_params: Any, flax_batch_stats: Any, path: str, model_name: str
+) -> Tuple[Any, Any]:
+    """Load + import a pretrained pose init from disk, symmetric with
+    load_pretrained_depth. Accepts a full reference checkpoint
+    ({epoch, pose_mdl_state_dict, ...}, /root/reference/trainer.py:132-137)
+    or a bare pose state dict in the reference schema for `model_name`
+    (PoseNet / PoseFc / any MODEL_MAPPINGS entry)."""
+    if path.endswith(".npz"):
+        blob: Dict[str, Any] = dict(np.load(path))
+    else:
+        blob = load_torch_checkpoint(path)
+    if "pose_mdl_state_dict" in blob:
+        blob = blob["pose_mdl_state_dict"]
+    return import_torch_state(flax_params, flax_batch_stats, blob, model_name)
+
+
 def export_torch_state(
     flax_params: Any, flax_batch_stats: Any, model_name: str
 ) -> Dict[str, np.ndarray]:

@@ -138,6 +138,19 @@ def create_train_state(
         )
         params["depth"] = jax.tree.map(jnp.asarray, depth_params)
         batch_stats["depth"] = jax.tree.map(jnp.asarray, depth_stats)
+    if config.model.pose.pretrained_path:
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            load_pretrained_pose,
+        )
+
+        pose_params, pose_stats = load_pretrained_pose(
+            params["pose"],
+            batch_stats["pose"],
+            config.model.pose.pretrained_path,
+            config.model.pose.name,
+        )
+        params["pose"] = jax.tree.map(jnp.asarray, pose_params)
+        batch_stats["pose"] = jax.tree.map(jnp.asarray, pose_stats)
     tx = make_optimizer(config, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
