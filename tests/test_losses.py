@@ -78,6 +78,25 @@ class TestPhotometric:
         raw = photometric_loss(pred, target, no_ssim=True, clip_loss=0.0)
         assert float(clipped.max()) < float(raw.max())
 
+    def test_clip_threshold_is_detached(self):
+        # The clamp threshold mean + k*std is stop-gradient'd like the
+        # reference's float() cast (losses.py:83-84): pixels above the
+        # threshold must contribute ZERO gradient, not d(mean+k*std)/dx.
+        import jax
+
+        target = jnp.zeros((1, 4, 4, 1)).at[0, 0, 0, 0].set(100.0)
+
+        def scalar(pred):
+            return jnp.sum(
+                photometric_loss(pred, target, no_ssim=True, clip_loss=0.5)
+            )
+
+        g = jax.grad(scalar)(jnp.zeros((1, 4, 4, 1)))
+        # the outlier pixel is clamped -> its gradient must be exactly 0
+        assert float(g[0, 0, 0, 0]) == 0.0
+        # unclamped pixels keep the plain d|t - p|/dp = -1 gradient
+        np.testing.assert_allclose(np.asarray(g[0, 1:, :, 0]), -1.0)
+
     def test_ssim_blend_weighting(self):
         x = jnp.asarray(RNG.uniform(0, 1, (1, 12, 12, 3)), dtype=jnp.float32)
         y = jnp.asarray(RNG.uniform(0, 1, (1, 12, 12, 3)), dtype=jnp.float32)
@@ -129,6 +148,20 @@ class TestReprojection:
         tgt, refs, depths, poses = self._triplet()
         loss = reprojection_loss(tgt, refs, depths, poses, _intrinsics())
         assert float(loss) < 5e-3
+
+    def test_unbatched_intrinsics_with_batch_gt_one(self):
+        # the documented [3, 3] shared-camera shape must broadcast to the
+        # whole batch (it used to tile per job only and crash at B > 1)
+        tgt, refs, depths, poses = self._triplet(batch=2)
+        k = _intrinsics()
+        k33 = k[0] if k.ndim == 3 else k
+        assert k33.shape == (3, 3)
+        loss = reprojection_loss(tgt, refs, depths, poses, k33)
+        assert float(loss) < 5e-3
+        loss_min = min_reprojection_loss(
+            tgt, refs, [depths[0][0]], poses, k33
+        )
+        assert np.isfinite(float(loss_min))
 
     def test_aligned_warp_beats_misaligned(self):
         batch, height, width = 1, 48, 64

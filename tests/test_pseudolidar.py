@@ -44,6 +44,33 @@ class TestDepthToPointcloud:
         assert valid.shape == (2, 128)
         assert valid.dtype == jnp.bool_
 
+    def test_zero_depth_pixels_invalid(self):
+        # Sparse depth images (velodyne rasterizations) are mostly zeros;
+        # a zero-depth pixel backprojects to the camera origin, which
+        # passes the x>=0/height crops — it must be masked out, or the
+        # cloud floods with phantom points at the sensor.
+        depth = jnp.zeros((1, 8, 16)).at[0, 4, 8].set(10.0)
+        _, valid = depth_to_pointcloud(
+            depth, jnp.asarray(P), jnp.asarray(T_VELO_CAM)
+        )
+        assert int(valid.sum()) <= 1
+        # toy camera centered on the tiny grid, velo == cam frame: pixels
+        # right of the principal point have x >= 0, depth 0.5 < height
+        # crop -> exactly half the grid is a real return
+        p_small = jnp.asarray(
+            [[10.0, 0, 8.0, 0], [0, 10.0, 4.0, 0], [0, 0, 1.0, 0]],
+            jnp.float32,
+        )
+        eye = jnp.eye(4, dtype=jnp.float32)
+        full = jnp.full((1, 8, 16), 0.5)
+        _, valid_full = depth_to_pointcloud(full, p_small, eye)
+        # the zero-mask must not eat real returns (u >= cu: 8 of 16 cols)
+        assert int(valid_full.sum()) == 8 * 8
+        # same camera, zero depth everywhere: before the depth>0 mask all
+        # 128 pixels backprojected to the origin and PASSED the crops
+        _, valid_zero = depth_to_pointcloud(jnp.zeros((1, 8, 16)), p_small, eye)
+        assert int(valid_zero.sum()) == 0
+
     def test_pinhole_formula(self):
         # Camera-frame x of pixel (u, v): (u - cu) * d / fu + bx.
         depth = jnp.full((1, 4, 4), 20.0)

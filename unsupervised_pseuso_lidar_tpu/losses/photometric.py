@@ -41,7 +41,11 @@ def photometric_loss(
             1.0 - ssim_weight
         ) * l1
     if clip_loss:
-        mean = jnp.mean(photometric)
-        std = jnp.std(photometric)
-        photometric = jnp.minimum(photometric, mean + clip_loss * std)
+        # The threshold is DETACHED, like the reference's float() cast of
+        # the tensor statistics (losses.py:83-84): clamped pixels must get
+        # zero gradient, not route d(mean + k*std)/dx into every pixel.
+        thresh = jax.lax.stop_gradient(
+            jnp.mean(photometric) + clip_loss * jnp.std(photometric)
+        )
+        photometric = jnp.minimum(photometric, thresh)
     return photometric

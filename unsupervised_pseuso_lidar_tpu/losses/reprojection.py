@@ -128,7 +128,9 @@ def reprojection_loss(
     transform = jnp.concatenate(transforms, axis=0)
     depth = jnp.concatenate(depth_maps, axis=0)
     if intrinsics.ndim == 2:
-        intrinsics = intrinsics[None]
+        # one shared camera: broadcast to the batch BEFORE tiling per job,
+        # so k_tiled matches the [jobs*B] concatenated batch rows
+        intrinsics = jnp.broadcast_to(intrinsics[None], (batch, 3, 3))
     k_tiled = jnp.tile(intrinsics, (jobs, 1, 1))
 
     coords = warp_coords(depth, transform, k_tiled)
@@ -180,10 +182,22 @@ def min_reprojection_loss(
     t0 = pose_matrix(poses[:, 0])
     t1 = pose_matrix(poses[:, 1])
     if intrinsics.ndim == 2:
-        intrinsics = intrinsics[None]
+        # see reprojection_loss: per-batch-row intrinsics before tiling
+        intrinsics = jnp.broadcast_to(intrinsics[None], (batch, 3, 3))
     k_tiled = jnp.tile(intrinsics, (2, 1, 1))
     src = jnp.concatenate([refs[0], refs[1]], axis=0)
     transform = jnp.concatenate([t0, t1], axis=0)
+
+    if automask:
+        # the identity (unwarped) photometric error is scale-invariant:
+        # compute the full-res SSIM+L1 pass once, not once per scale
+        ident = photometric_loss(
+            src,
+            jnp.tile(tgt, (2, 1, 1, 1)),
+            no_ssim=no_ssim,
+            clip_loss=0.0,
+        ).mean(axis=-1)
+        ident = jnp.minimum(ident[:batch], ident[batch:])
 
     total = jnp.asarray(0.0, dtype=tgt.dtype)
     coverages = []
@@ -208,13 +222,6 @@ def min_reprojection_loss(
         err = err.mean(axis=-1)  # [2B, H, W]
         err = jnp.minimum(err[:batch], err[batch:])  # per-pixel min over refs
         if automask:
-            ident = photometric_loss(
-                src,
-                jnp.tile(tgt, (2, 1, 1, 1)),
-                no_ssim=no_ssim,
-                clip_loss=0.0,
-            ).mean(axis=-1)
-            ident = jnp.minimum(ident[:batch], ident[batch:])
             # Keep pixels where reprojection beats the static-scene error.
             mask = (err < ident).astype(err.dtype)
             err = err * mask

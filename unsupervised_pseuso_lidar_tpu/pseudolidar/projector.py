@@ -75,7 +75,15 @@ def depth_to_pointcloud(
     # transform leaves it 0, PseudoLiDAR.py:43-46,100 — clouds are (x,y,z,0)).
     velo = velo.at[..., 3].set(0.0)
 
-    valid = (velo[..., 0] >= 0) & (velo[..., 2] < max_high)
+    # depth > 0 excludes no-return pixels (rasterized LiDAR depth images
+    # are ~90% zeros; a zero-depth pixel backprojects to the camera origin,
+    # which passes the x>=0 / height crop and would flood the cloud with
+    # phantom points at the sensor)
+    valid = (
+        (velo[..., 0] >= 0)
+        & (velo[..., 2] < max_high)
+        & (depth.reshape(batch, -1) > 0)
+    )
     if sparsity:
         # Parity note: the reference strides AFTER compaction (every k-th
         # surviving point); with static shapes we stride the pixel index,
