@@ -17,6 +17,20 @@ RNG = np.random.default_rng(0)
 
 
 class TestSE3:
+    def test_is_rotation_matrix_per_matrix(self):
+        # batched input returns per-matrix verdicts; benign per-matrix
+        # float error must not accumulate across the batch (a whole-batch
+        # Frobenius norm rejected valid batches around B ~ 100)
+        rots = se3.euler2mat(jnp.asarray(RNG.uniform(-1, 1, (128, 3))))
+        ok = se3.is_rotation_matrix(rots)
+        assert ok.shape == (128,)
+        assert bool(ok.all())
+        bad = rots.at[7].mul(2.0)
+        verdicts = se3.is_rotation_matrix(bad)
+        assert not bool(verdicts[7]) and bool(verdicts[0])
+        # single [3, 3] input keeps the scalar convention
+        assert se3.is_rotation_matrix(jnp.eye(3)).shape == ()
+
     def test_euler2mat_identity(self):
         rot = se3.euler2mat(jnp.zeros((2, 3)))
         np.testing.assert_allclose(rot, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-6)

@@ -71,6 +71,24 @@ class TestConfig:
         with pytest.raises(ValueError):
             _small_config(action={"batch_size": 0})
 
+    def test_validation_split_shape_and_sum(self):
+        with pytest.raises(ValueError, match="split"):
+            _small_config(action={"split": [1.0]})
+        with pytest.raises(ValueError, match="sum to 1"):
+            _small_config(action={"split": [0.1, 0.2]})
+
+    def test_validation_rejects_hflip_with_oxts_poses(self):
+        # flipped images cannot be warped with unflipped ground-truth
+        # OXTS poses (data/augment.py docstring); the combination must be
+        # rejected up front, not silently corrupt half of every batch
+        with pytest.raises(ValueError, match="hflip"):
+            _small_config(
+                datasets={"augmentation": {"image_width": 96,
+                                           "image_height": 64,
+                                           "hflip": True}},
+                action={"semi_sup_pose": True},
+            )
+
 
 @pytest.mark.slow
 class TestTrainStep:

@@ -89,6 +89,21 @@ def test_step_timer_summary():
     assert summary["frames_per_sec"] > 0
 
 
+def test_step_timer_context_manager_syncs_outputs():
+    # the context-manager API must honor outputs_fn: blocking mode syncs
+    # on the step outputs, so the recorded time is device time, not
+    # async dispatch latency (outputs_fn used to be silently ignored)
+    timer = StepTimer(blocking=True)
+    out = {}
+    with timer.step(lambda: out["x"]):
+        out["x"] = jnp.ones((256, 256)) @ jnp.ones((256, 256))
+    assert len(timer.samples) == 1 and timer.samples[0] > 0
+    # and the no-outputs form still works
+    with timer.step():
+        jnp.ones((8,))
+    assert len(timer.samples) == 2
+
+
 def test_profiler_trace_smoke(tmp_path):
     with trace(str(tmp_path)):
         with annotate("unit"):

@@ -25,12 +25,18 @@ def _mm(a, b):
 
 
 def is_rotation_matrix(rot, tol: float = 1e-6) -> jax.Array:
-    """||R.T R - I|| < tol — validity check for rotation matrices.
+    """||R.T R - I||_F < tol PER MATRIX — validity check for rotations.
+
+    Returns a scalar bool for [3, 3] input, [B] bools for [B, 3, 3]
+    (a whole-batch norm would accumulate sqrt(B)·eps of benign float
+    error and start rejecting valid batches around B ~ 100).
 
     Parity: /root/reference/geometry/pose_geometry.py:9-14."""
     rot = jnp.asarray(rot)
     eye = jnp.eye(3, dtype=rot.dtype)
-    err = jnp.linalg.norm(_mm(jnp.swapaxes(rot, -1, -2), rot) - eye)
+    err = jnp.linalg.norm(
+        _mm(jnp.swapaxes(rot, -1, -2), rot) - eye, axis=(-2, -1)
+    )
     return err < tol
 
 

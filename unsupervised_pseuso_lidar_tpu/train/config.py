@@ -206,8 +206,25 @@ class Config:
                 "Only sequence_length=3 (tgt + 2 refs) is supported, like the "
                 "reference (configs/basic_config.yaml:17)"
             )
+        if len(self.action.split) != 2:
+            raise ValueError(
+                "action.split must be [train_ratio, val_ratio] "
+                f"(got {self.action.split!r})"
+            )
         if not (0 <= self.action.split[1] <= 1):
             raise ValueError("validation split ratio must be in [0, 1]")
+        if abs(sum(self.action.split) - 1.0) > 1e-6:
+            raise ValueError(
+                f"action.split ratios must sum to 1 (got {self.action.split!r})"
+            )
+        if self.datasets.augmentation.hflip and self.action.semi_sup_pose:
+            raise ValueError(
+                "augmentation.hflip cannot be combined with "
+                "action.semi_sup_pose: flipping mirrors the images and "
+                "intrinsics but the ground-truth OXTS poses are not "
+                "flippable (data/augment.py docstring) — the warp would "
+                "use a wrong-signed pose for flipped samples"
+            )
         if self.action.precision not in ("fp32", "bf16"):
             raise ValueError("action.precision must be 'fp32' or 'bf16'")
         if self.action.warp_impl not in ("mxu", "gather", "pallas"):

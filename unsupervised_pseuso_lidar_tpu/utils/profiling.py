@@ -97,9 +97,15 @@ class StepTimer:
 
     @contextlib.contextmanager
     def step(self, outputs_fn=None):
+        """Time one step; `outputs_fn` (called AFTER the body) must return
+        the step outputs so blocking mode can sync on them:
+
+            with timer.step(lambda: out):
+                out = step(state, batch)
+        """
         self.start()
         yield
-        self.stop()
+        self.stop(outputs_fn() if outputs_fn is not None else None)
 
     def summary(self, batch_size: Optional[int] = None) -> Dict[str, float]:
         if not self.samples:
