@@ -219,8 +219,13 @@ class TestTrainerLoop:
         config2.action.checkpoint_dir = str(tmp_path)
         config2.action.from_scratch = False
         trainer2 = Trainer(config2, dataset=dataset)
-        assert trainer2.epoch == 0  # saved at end of epoch 0
+        # epoch 0 completed and was checkpointed -> resume at epoch 1
+        # (resuming AT the saved index would re-train the finished epoch)
+        assert trainer2.epoch == 1
         assert int(trainer2.state.step) == int(trainer.state.step)
+        # fit() with num_epochs=1 therefore has nothing left to do
+        again = trainer2.fit(make_train_iter=dataset.batches)
+        assert int(trainer2.state.step) == int(trainer.state.step), again
 
 
 class TestMetrics:

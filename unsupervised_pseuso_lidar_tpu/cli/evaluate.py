@@ -66,7 +66,11 @@ def main(argv=None):
     if args.max_batches:
         indices = indices[: args.max_batches * batch_size]
     metrics = trainer.validate(
-        dataset.batches(indices, batch_size, config.action.num_workers)
+        # drop_last=False: protocol metrics must cover the WHOLE split —
+        # the training default would silently skip len % batch_size tail
+        # samples and shift reported numbers with batch size
+        dataset.batches(indices, batch_size, config.action.num_workers,
+                        drop_last=False)
     )
     print(json.dumps({k: round(v, 5) for k, v in metrics.items()}, indent=2))
     return metrics

@@ -48,14 +48,25 @@ def main(argv=None):
     if args.torch_checkpoint:
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
             import_torch_state,
+            load_pretrained_depth,
             load_torch_checkpoint,
         )
 
-        ckpt = load_torch_checkpoint(args.torch_checkpoint)
-        depth_params, depth_stats = import_torch_state(
-            params["depth"], batch_stats["depth"],
-            ckpt["dpth_mdl_state_dict"], config.model.depth.name,
-        )
+        if config.model.depth.name == "DispResNet":
+            # accepts every documented blob shape: a full reference
+            # checkpoint ({epoch, dpth_mdl_state_dict, ...}), a bare
+            # DispResNet state dict, or torchvision ImageNet weights
+            depth_params, depth_stats = load_pretrained_depth(
+                params["depth"], batch_stats["depth"], args.torch_checkpoint
+            )
+        else:
+            ckpt = load_torch_checkpoint(args.torch_checkpoint)
+            # full reference checkpoint or a bare model state dict
+            state_dict = ckpt.get("dpth_mdl_state_dict", ckpt)
+            depth_params, depth_stats = import_torch_state(
+                params["depth"], batch_stats["depth"],
+                state_dict, config.model.depth.name,
+            )
         params = dict(params, depth=depth_params)
         batch_stats = dict(batch_stats, depth=depth_stats)
     elif args.checkpoint or not config.action.from_scratch:

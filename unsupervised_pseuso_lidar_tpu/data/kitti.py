@@ -57,6 +57,23 @@ def oxts_path_for_image(image_path: str) -> str:
     return os.path.join(drive_dir, "oxts", "data", frame + ".txt")
 
 
+# Process-pool plumbing: the dataset is shipped to each worker ONCE via
+# the pool initializer (fork shares it copy-on-write; initargs pickle once
+# per worker), and tasks submit only (index, flag) — submitting the bound
+# method would pickle the whole dataset (all Sample records + calib cache)
+# through the call queue per sample.
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_load(index: int, with_groundtruth: bool):
+    return _WORKER_DATASET.load_sample(index, with_groundtruth)
+
+
 @dataclass
 class Sample:
     tgt: str
@@ -280,12 +297,18 @@ class UnSupKittiDataset:
             if use_processes:
                 from concurrent.futures import ProcessPoolExecutor
 
-                # fork start method shares self.samples copy-on-write; the
+                # the dataset rides to workers once via the initializer;
+                # per-task payload is just (index, flag), and the
                 # PIL/numpy load_sample outputs pickle cheaply back
-                with ProcessPoolExecutor(max_workers=num_workers) as pool:
-                    yield from self._pipelined(pool, starts, indices,
-                                               batch_size, lookahead,
-                                               with_groundtruth)
+                with ProcessPoolExecutor(
+                    max_workers=num_workers,
+                    initializer=_worker_init,
+                    initargs=(self,),
+                ) as pool:
+                    yield from self._pipelined(
+                        pool, starts, indices, batch_size, lookahead,
+                        with_groundtruth, submit_fn=_worker_load,
+                    )
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -301,11 +324,15 @@ class UnSupKittiDataset:
                 ])
 
     def _pipelined(self, pool, starts, indices, batch_size, lookahead,
-                   with_groundtruth=True):
-        """Submit `lookahead` batches of __getitem__ futures ahead of the
-        consumer so workers decode batch N+k while the device trains on N."""
+                   with_groundtruth=True, submit_fn=None):
+        """Submit `lookahead` batches of load_sample futures ahead of the
+        consumer so workers decode batch N+k while the device trains on N.
+
+        submit_fn: picklable callable(index, with_groundtruth) for process
+        pools; thread pools default to the bound method (no pickling)."""
         from collections import deque
 
+        load = submit_fn if submit_fn is not None else self.load_sample
         inflight = deque()
         it = iter(starts)
 
@@ -316,8 +343,7 @@ class UnSupKittiDataset:
                 return
             chunk = indices[start : start + batch_size]
             inflight.append([
-                pool.submit(self.load_sample, i, with_groundtruth)
-                for i in chunk
+                pool.submit(load, i, with_groundtruth) for i in chunk
             ])
 
         for _ in range(max(1, lookahead) + 1):

@@ -53,11 +53,13 @@ def _spatial_axis(mesh: Mesh) -> Optional[str]:
 
 def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
     """Sharding for an [B, ...] array: B over "data", H over "spatial" when
-    the mesh has one (images are [B, H, W, C])."""
+    the mesh has one. Image arrays are channels-last with H third-from-last
+    — [B, H, W, C] and the stacked [B, 2, H, W, C] ref pair alike — so the
+    spatial axis pins ndim-3, never the size-2 frame axis of ref_imgs."""
     spec = [None] * ndim
     spec[batch_axis] = "data"
     if _spatial_axis(mesh) and ndim >= 4:
-        spec[1] = "spatial"
+        spec[ndim - 3] = "spatial"
     return NamedSharding(mesh, P(*spec))
 
 

@@ -175,25 +175,14 @@ def forward_batch(
     Parity: /root/reference/trainer.py:290-313 (process_batch).
     Returns (disps_tgt, disps_ref0, poses, new_batch_stats).
     """
+    # host ships raw bytes (4x less transfer bandwidth than fp32 —
+    # decisive when the host<->device link is the bottleneck); the
+    # ImageNet normalization happens here on device (no-op for float
+    # input), through the SAME helper the eval/visualization paths use.
+    batch = normalize_uint8_batch(batch)
     tgt = batch["tgt"]
     ref0 = batch["ref_imgs"][:, 0]
     ref1 = batch["ref_imgs"][:, 1]
-    if tgt.dtype == jnp.uint8:
-        # host ships raw bytes (4x less transfer bandwidth than fp32 —
-        # decisive when the host<->device link is the bottleneck);
-        # ImageNet normalization happens here on device.
-        from unsupervised_pseuso_lidar_tpu.utils.transforms import (
-            IMAGENET_MEAN,
-            IMAGENET_STD,
-        )
-
-        mean = jnp.asarray(IMAGENET_MEAN)
-        std = jnp.asarray(IMAGENET_STD)
-
-        def norm(x):
-            return (x.astype(jnp.float32) / 255.0 - mean) / std
-
-        tgt, ref0, ref1 = norm(tgt), norm(ref0), norm(ref1)
     bsz = tgt.shape[0]
 
     stacked = jnp.concatenate([tgt, ref0], axis=0)
@@ -582,7 +571,11 @@ class Trainer:
         if not config.action.from_scratch:
             restored = self.checkpoints.restore(self.state)
             if restored is not None:
-                self.state, self.epoch = restored
+                # checkpoints are written AFTER an epoch completes, so
+                # resume at the NEXT epoch (restoring at the saved index
+                # would re-train the completed epoch past its schedule)
+                self.state, last_epoch = restored
+                self.epoch = last_epoch + 1
 
     def _device_batch(self, batch, keep_groundtruth: bool = False):
         if not keep_groundtruth:
