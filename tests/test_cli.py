@@ -55,8 +55,10 @@ def test_train_then_evaluate_then_inference(cli_config, mini_kitti, tmp_path, ca
     trainer = train_cli.main(["--config", cli_config, "--mesh", "1"])
     assert trainer.checkpoints.latest_epoch() == 0
 
-    metrics = eval_cli.main(["--config", cli_config, "--max-batches", "1"])
-    for key in ("abs_rel", "rms", "d1"):
+    metrics = eval_cli.main(
+        ["--config", cli_config, "--max-batches", "1", "--pose-metrics"]
+    )
+    for key in ("abs_rel", "rms", "d1", "pose_ate", "pose_rot_err_deg"):
         assert key in metrics and np.isfinite(metrics[key])
 
     img = os.path.join(
@@ -69,6 +71,28 @@ def test_train_then_evaluate_then_inference(cli_config, mini_kitti, tmp_path, ca
     )
     assert depth.shape == (32, 32)
     assert os.path.exists(out)
+
+
+def test_bench_entry_smoke(capsys):
+    """bench.py (the driver's round-end entry) prints one valid JSON row.
+
+    Tiny shapes + gather warp + unroll 1 keep the CPU compile small; the
+    contract under test is the output schema and that the whole
+    state/step/measure path executes."""
+    import bench
+
+    fps = bench.main(
+        ["--batch", "1", "--height", "32", "--width", "64",
+         "--steps", "1", "--warmup", "1", "--unroll", "1",
+         "--fp32", "--warp", "gather", "--depth-model", "StnDispNet"]
+    )
+    assert fps > 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    row = json.loads(out)
+    assert row["unit"] == "frames/sec/chip"
+    assert row["value"] > 0
+    assert "vs_baseline" in row and np.isfinite(row["vs_baseline"])
+    assert row["metric"].startswith("train_fps_depth_pose_warp_b1")
 
 
 def test_train_synthetic_flag(tmp_path):

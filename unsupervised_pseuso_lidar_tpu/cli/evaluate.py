@@ -32,6 +32,13 @@ def main(argv=None):
                         "monocular protocol: Garg crop + [1e-3, 80] m "
                         "caps + per-image median scaling (the parity-run "
                         "setting; see docs/PARITY_RUNBOOK.md)")
+    parser.add_argument("--pose-metrics", action="store_true",
+                        help="also evaluate the pose net against the "
+                        "split's OXTS odometry: snippet ATE "
+                        "(scale-aligned + raw) and geodesic rotation "
+                        "error (eval/pose.py — the reference only ever "
+                        "eyeballed pose-net output vs OXTS by hand, "
+                        "notes/what_the_hell.txt)")
     parser.add_argument("--velo-gt", action="store_true",
                         help="rasterize sparse GT from raw "
                         "velodyne_points/*.bin scans for split lines "
@@ -72,6 +79,24 @@ def main(argv=None):
         dataset.batches(indices, batch_size, config.action.num_workers,
                         drop_last=False)
     )
+    if args.pose_metrics:
+        from unsupervised_pseuso_lidar_tpu.eval.pose import make_pose_eval_step
+
+        pose_step = make_pose_eval_step(
+            trainer.pose_model, semi_sup_pose=config.action.semi_sup_pose
+        )
+        sums: dict = {}
+        count = 0
+        for batch in dataset.batches(indices, batch_size,
+                                     config.action.num_workers,
+                                     drop_last=False):
+            pm = pose_step(trainer.state, trainer._device_batch(batch))
+            for k, v in pm.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        metrics.update(
+            {f"pose_{k}": v / max(count, 1) for k, v in sums.items()}
+        )
     print(json.dumps({k: round(v, 5) for k, v in metrics.items()}, indent=2))
     return metrics
 
