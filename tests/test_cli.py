@@ -73,6 +73,23 @@ def test_train_then_evaluate_then_inference(cli_config, mini_kitti, tmp_path, ca
     assert os.path.exists(out)
 
 
+def test_splits_cli(mini_kitti, tmp_path):  # noqa: F811
+    from unsupervised_pseuso_lidar_tpu.cli import splits as splits_cli
+
+    out = str(tmp_path / "ann.txt")
+    lines = splits_cli.main(
+        ["annotated", "--kitti", mini_kitti["kitti"],
+         "--depth", mini_kitti["depth"], "--out", out]
+    )
+    assert lines and os.path.exists(out)
+    assert all(len(line.split()) == 4 for line in lines)
+
+    drive = os.path.join(mini_kitti["kitti"], DATE, DRIVE)
+    out2 = str(tmp_path / "drv.txt")
+    lines2 = splits_cli.main(["drive", "--drive", drive, "--out", out2])
+    assert lines2 and all(len(line.split()) == 3 for line in lines2)
+
+
 def test_bench_entry_smoke(capsys):
     """bench.py (the driver's round-end entry) prints one valid JSON row.
 
