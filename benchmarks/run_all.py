@@ -212,6 +212,39 @@ def main():
     report["train_step_b12_bf16_mesh_fps"] = round(12.0 / dt, 2)
     report["mesh_devices"] = int(mesh.size)
 
+    # 4d. the reference's training config of record: batch 4 at 1280x384
+    # (/root/reference/configs/basic_config.yaml:27-39 — the resolution
+    # and batch the reference actually trains). Width 1280 is lane-aligned
+    # so the fused Pallas warp's column window engages (384 of 1280 cols:
+    # a 3.3x dot-FLOP cut vs full width).
+    config_ref = Config.from_dict(
+        {
+            "model": {
+                "name": "benchmatrix",
+                "depth": {"name": "DispResNet"},
+                "pose": {"name": "PoseNet"},
+            },
+            "datasets": {
+                "augmentation": {"image_width": 1280, "image_height": 384},
+            },
+            "action": {"batch_size": 4, "precision": "bf16"},
+        }
+    )
+    state_ref, depth_ref, pose_ref, tx_ref = create_train_state(
+        config_ref, jax.random.PRNGKey(0), 1000, dtype=jnp.bfloat16
+    )
+    raw_ref = synthetic_triplet_batch(4, 384, 1280, seed=3)
+    batch_ref = {
+        k: jnp.asarray(v) for k, v in raw_ref.items() if k != "groundtruth"
+    }
+    step_ref = make_train_step(
+        depth_ref, pose_ref, tx_ref, donate=False, warp_impl="pallas"
+    )
+    dt = timeit(lambda: step_ref(state_ref, batch_ref), max(args.steps // 2, 5))
+    report["train_step_b4_1280x384_bf16_ms"] = round(dt * 1e3, 3)
+    report["train_step_b4_1280x384_bf16_fps"] = round(4.0 / dt, 2)
+    del state_ref, batch_ref  # free ~1.5 GB of HBM activations
+
     # 5. streaming epoch: loader -> prefetch -> train (host pipeline incl.)
     # Production convention: plain device_put prefetch (the tunnel moves
     # ~700 MB/s as of r2 — chunking, which won r1's 15-36 MB/s link, now
