@@ -185,6 +185,33 @@ def main(argv=None):
         flops_step = step_flops(step1, state, batch1)
     else:
         flops_step = step_flops(step, state, batch)
+    # pallas_call is a custom call — opaque to the XLA cost model (0
+    # FLOPs), so the fused warp kernel's MXU dots (~40% of step FLOPs at
+    # the b12 config) must be added analytically or MFU undercounts.
+    if flops_step and args.warp == "pallas" and (8 * args.width) % 1024 == 0:
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            fused_warp_flops,
+        )
+
+        # warp jobs per step = 3 per decoder scale (2 forward + 1
+        # backward-direction), each over a full-res [B, H, W] plane
+        # (losses/reprojection.py stacks them into ONE kernel call)
+        depth_in = {
+            "params": state.params["depth"],
+            "batch_stats": state.batch_stats["depth"],
+        }
+        img_spec = jax.ShapeDtypeStruct(
+            (1, args.height, args.width, 3), jnp.float32
+        )
+        disps_shape = jax.eval_shape(
+            lambda v, x: depth_model.apply(v, x, train=False),
+            depth_in, img_spec,
+        )
+        jobs = 3 * len(disps_shape) * args.batch
+        flops_step += fused_warp_flops(jobs, args.height, args.width)
+        flops_step += fused_warp_flops(
+            jobs, args.height, args.width, backward=True
+        )
     achieved_tflops = mfu = None
     if flops_step:
         achieved_tflops = flops_step / dt / 1e12

@@ -310,3 +310,36 @@ class TestFusedWarp:
             float(metrics["loss"]), float(metrics_single["loss"]),
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestFusedWarpFlops:
+    def test_closed_form_b12_config(self):
+        # the bench config: W=640 -> col_band 384; band 8+2*12+16=48 rows
+        # -> 32-row window; per pixel 3*32*384 MACs, x2 FLOPs
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            fused_warp_flops,
+        )
+
+        got = fused_warp_flops(1, 192, 640)
+        expect = 2 * 192 * 640 * 3 * 32 * 384
+        assert got == expect
+        # backward runs two mirror dots
+        assert fused_warp_flops(1, 192, 640, backward=True) == 2 * expect
+        # batch-linear
+        assert fused_warp_flops(36, 192, 640) == 36 * expect
+
+    def test_unbanded_width_uses_full_width(self):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            fused_warp_flops,
+        )
+
+        # W=128 < 512: no column banding -> contraction over full width
+        assert fused_warp_flops(1, 32, 128) == 2 * 32 * 128 * 3 * 32 * 128
+
+    def test_row_padding_counted(self):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            fused_warp_flops,
+        )
+
+        # H=30 pads to 32 output rows (rows_per_block=8)
+        assert fused_warp_flops(1, 30, 128) == 2 * 32 * 128 * 3 * 32 * 128

@@ -602,6 +602,37 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
 grid_sample_mxu_fused.defvjp(_fwd, _bwd)
 
 
+def fused_warp_flops(
+    batch: int,
+    height: int,
+    width: int,
+    col_band: int | None = None,
+    rows_per_block: int = 8,
+    band_pad: int = 12,
+    backward: bool = False,
+) -> int:
+    """Analytic MXU FLOPs of one grid_sample_mxu_fused call.
+
+    pallas_call is a custom call — opaque to XLA's cost model
+    (`compile().cost_analysis()` reports 0 FLOPs for it), so MFU
+    accounting (bench.py) must add the kernel's dot work analytically.
+    Counts the x-interpolation dots only (the dominant cost; the y
+    reduction is VPU work): per 128-pixel tile the forward issues ONE
+    [3*win_rows, wb] x [wb, 128] dot and the backward kernel TWO (the
+    mirror x-interp + the d_onehot dot), over ceil(H/rows)*rows padded
+    output rows."""
+    wb = resolve_col_band(width, col_band)
+    band_rows = rows_per_block + 2 * band_pad + 16
+    if band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16:
+        win = WIN_ROWS
+    else:
+        win = band_rows
+    pad_h = (-height) % rows_per_block
+    pixels = batch * (height + pad_h) * width
+    macs = pixels * 3 * win * wb
+    return 2 * macs * (2 if backward else 1)
+
+
 def col_coverage(
     grid: jax.Array,
     col_band: int | None = None,
