@@ -206,6 +206,7 @@ class TestTrainerLoop:
         config = _small_config()
         config.action.checkpoint_dir = str(tmp_path)
         config.action.num_epochs = 1
+        config.action.eval_pose = True  # pose metrics ride validation
         dataset = SyntheticTripletDataset(2, 2, 64, 96, seed=0)
         trainer = Trainer(config, dataset=dataset)
         metrics = trainer.fit(
@@ -214,6 +215,10 @@ class TestTrainerLoop:
         )
         assert "loss" in metrics and np.isfinite(metrics["loss"])
         assert "val_abs_rel" in metrics
+        assert "val_pose_ate" in metrics and np.isfinite(
+            metrics["val_pose_ate"]
+        )
+        assert "val_pose_rot_err_deg" in metrics
         # resume restores epoch + state
         config2 = _small_config()
         config2.action.checkpoint_dir = str(tmp_path)

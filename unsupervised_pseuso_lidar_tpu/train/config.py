@@ -95,6 +95,9 @@ class ActionConfig:
     # monocular protocol (Garg crop + [1e-3, 80] m caps + per-image median
     # scaling) — the setting for parity runs against published numbers
     eval_protocol: str = "none"
+    # also report pose metrics (snippet ATE + rotation error vs the
+    # split's OXTS odometry, eval/pose.py) during per-epoch validation
+    eval_pose: bool = False
     loss_mode: str = "mean"
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
@@ -183,6 +186,7 @@ class Config:
             semi_sup_pose=bool(act_raw.get("semi_sup_pose", False)),
             eval_median_scale=bool(act_raw.get("eval_median_scale", False)),
             eval_protocol=act_raw.get("eval_protocol", "none"),
+            eval_pose=bool(act_raw.get("eval_pose", False)),
             loss_mode=act_raw.get("loss_mode", "mean"),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),

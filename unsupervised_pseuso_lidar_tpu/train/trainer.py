@@ -562,6 +562,15 @@ class Trainer:
             mesh=mesh,
             eval_protocol=config.action.eval_protocol,
         )
+        self.pose_eval_step = None
+        if config.action.eval_pose:
+            from unsupervised_pseuso_lidar_tpu.eval.pose import (
+                make_pose_eval_step,
+            )
+
+            self.pose_eval_step = make_pose_eval_step(
+                self.pose_model, semi_sup_pose=config.action.semi_sup_pose
+            )
 
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
 
@@ -608,9 +617,16 @@ class Trainer:
         for batch in val_batches:
             # same placement path as training (mesh-sharded when active);
             # groundtruth rides along for the metric computation
-            metrics, _ = self.eval_step(
-                self.state, self._device_batch(batch, keep_groundtruth=True)
-            )
+            device_batch = self._device_batch(batch, keep_groundtruth=True)
+            metrics, _ = self.eval_step(self.state, device_batch)
+            if self.pose_eval_step is not None and "oxts" in batch:
+                # action.eval_pose: snippet ATE + rotation error vs the
+                # split's OXTS odometry (eval/pose.py)
+                pose_metrics = self.pose_eval_step(self.state, device_batch)
+                metrics = dict(
+                    metrics,
+                    **{f"pose_{k}": v for k, v in pose_metrics.items()},
+                )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
