@@ -86,6 +86,11 @@ def main(argv=None):
     parser.add_argument("--warp", default="pallas",
                         choices=("pallas", "mxu", "gather"),
                         help="photometric warp implementation")
+    parser.add_argument("--col-band", type=int, default=0,
+                        help="fused-warp column-window width (0 = auto: "
+                        "384 at lane-aligned widths >= 512); positive "
+                        "multiple of 128. Narrower = fewer warp FLOPs, "
+                        "less horizontal-flow coverage")
     parser.add_argument("--depth-model", default="DispResNet",
                         help="depth net (DispResNet | DispNetS | StnDispNet)")
     parser.add_argument("--verbose", action="store_true")
@@ -99,6 +104,20 @@ def main(argv=None):
                              ".jax_bench_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Backend init can fail transiently on the tunneled TPU (observed:
+    # UNAVAILABLE during relay restarts). Retry briefly before giving up
+    # so a blip doesn't zero out a benchmark run.
+    for attempt in range(3):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            if attempt == 2:
+                raise
+            print(f"# backend init failed ({e}); retrying in 30s",
+                  file=sys.stderr)
+            time.sleep(30)
 
     from unsupervised_pseuso_lidar_tpu.data.synthetic import synthetic_triplet_batch
     from unsupervised_pseuso_lidar_tpu.train.config import Config
@@ -134,9 +153,11 @@ def main(argv=None):
     state, depth_model, pose_model, tx = create_train_state(
         config, jax.random.PRNGKey(0), steps_per_epoch=1000, dtype=dtype
     )
+    col_band = args.col_band or None
     if args.unroll > 1:
         step = make_multi_step(
-            depth_model, pose_model, tx, args.unroll, warp_impl=args.warp
+            depth_model, pose_model, tx, args.unroll, warp_impl=args.warp,
+            col_band=col_band,
         )
         raws = [
             synthetic_triplet_batch(args.batch, args.height, args.width, seed=i)
@@ -148,7 +169,8 @@ def main(argv=None):
         }
     else:
         step = make_train_step(
-            depth_model, pose_model, tx, warp_impl=args.warp
+            depth_model, pose_model, tx, warp_impl=args.warp,
+            col_band=col_band,
         )
         raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
         batch = {
@@ -180,7 +202,8 @@ def main(argv=None):
     device_kind = jax.devices()[0].device_kind
     if args.unroll > 1:
         step1 = make_train_step(depth_model, pose_model, tx,
-                                warp_impl=args.warp, donate=False)
+                                warp_impl=args.warp, col_band=col_band,
+                                donate=False)
         batch1 = {k: v[0] for k, v in batch.items()}
         flops_step = step_flops(step1, state, batch1)
     else:
@@ -208,9 +231,11 @@ def main(argv=None):
             depth_in, img_spec,
         )
         jobs = 3 * len(disps_shape) * args.batch
-        flops_step += fused_warp_flops(jobs, args.height, args.width)
         flops_step += fused_warp_flops(
-            jobs, args.height, args.width, backward=True
+            jobs, args.height, args.width, col_band=col_band
+        )
+        flops_step += fused_warp_flops(
+            jobs, args.height, args.width, col_band=col_band, backward=True
         )
     achieved_tflops = mfu = None
     if flops_step:

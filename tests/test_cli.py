@@ -73,6 +73,29 @@ def test_train_then_evaluate_then_inference(cli_config, mini_kitti, tmp_path, ca
     assert os.path.exists(out)
 
 
+def test_odometry_cli(cli_config, mini_kitti, tmp_path):  # noqa: F811
+    from unsupervised_pseuso_lidar_tpu.cli import odometry as odo_cli
+
+    out = str(tmp_path / "poses.txt")
+    gt_out = str(tmp_path / "gt_poses.txt")
+    metrics = odo_cli.main(
+        ["--config", cli_config, "--out", out, "--gt-out", gt_out]
+    )
+    # one drive of NUM_FRAMES images -> NUM_FRAMES trajectory rows
+    # (N-2 sliding windows; identity row + camera-1 pose + the chain)
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == NUM_FRAMES
+    assert all(len(line.split()) == 12 for line in lines)
+    first = np.asarray(lines[0].split(), dtype=float).reshape(3, 4)
+    np.testing.assert_allclose(first, np.eye(4)[:3], atol=1e-9)
+    gt_lines = open(gt_out).read().strip().splitlines()
+    assert len(gt_lines) == NUM_FRAMES
+    # GT trajectory integrates real OXTS motion: not all rows identical
+    assert len(set(gt_lines)) > 1
+    assert metrics["frames"] == NUM_FRAMES
+    assert np.isfinite(metrics["pose_ate"])
+
+
 def test_splits_cli(mini_kitti, tmp_path):  # noqa: F811
     from unsupervised_pseuso_lidar_tpu.cli import splits as splits_cli
 

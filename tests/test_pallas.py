@@ -343,3 +343,45 @@ class TestFusedWarpFlops:
 
         # H=30 pads to 32 output rows (rows_per_block=8)
         assert fused_warp_flops(1, 30, 128) == 2 * 32 * 128 * 3 * 32 * 128
+
+
+class TestColBandKnob:
+    def test_col_band_256_matches_gather_for_small_flow(self):
+        # a narrower explicit window stays exact while flow is local
+        import jax.numpy as jnp
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+            sample_with_impl,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
+        B, H, W = 1, 16, 640
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+        gx, gy = np.meshgrid(np.linspace(-1, 1, W), np.linspace(-1, 1, H))
+        coords = jnp.asarray(
+            np.stack([gx + 0.004, gy + 0.02], -1)[None], jnp.float32
+        )
+        out = sample_with_impl(img, coords, impl="pallas", col_band=256)
+        ref = grid_sample(img, coords, align_corners=True,
+                          padding_mode="zeros")
+        assert float(jnp.max(jnp.abs(out - ref))) < 0.02
+
+    def test_config_validates_col_band(self):
+        import pytest
+
+        from unsupervised_pseuso_lidar_tpu.train.config import Config
+
+        base = {
+            "model": {"name": "m", "depth": {"name": "StnDispNet"},
+                      "pose": {"name": "PoseNet"}},
+            "datasets": {"augmentation": {"image_width": 64,
+                                          "image_height": 32}},
+        }
+        cfg = Config.from_dict(
+            {**base, "action": {"warp_col_band": 256}}
+        )
+        assert cfg.action.warp_col_band == 256
+        with pytest.raises(ValueError, match="warp_col_band"):
+            Config.from_dict({**base, "action": {"warp_col_band": 100}})

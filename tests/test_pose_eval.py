@@ -140,3 +140,58 @@ class TestPoseEvalStep:
         m = step_ss(state, batch)
         assert float(m["ate"]) == pytest.approx(0.0, abs=1e-5)
         assert float(m["rot_err_deg"]) == pytest.approx(0.0, abs=1e-3)
+
+
+class TestTrajectory:
+    def test_pure_forward_motion(self):
+        from unsupervised_pseuso_lidar_tpu.eval.trajectory import (
+            integrate_relative_poses,
+        )
+
+        # camera advances +1 m along z per frame: a static point's coords
+        # in the next frame shift by -z, so the relative 6-vec is
+        # [0,0,0, 0,0,-1]; world positions must come out at z = 0,1,2,3
+        rel = np.tile(np.array([0, 0, 0, 0, 0, -1.0], np.float32), (3, 1))
+        poses = integrate_relative_poses(rel)
+        np.testing.assert_allclose(
+            poses[:, :3, 3],
+            [[0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 0, 3]],
+            atol=1e-6,
+        )
+        # rotations stay identity
+        np.testing.assert_allclose(
+            poses[:, :3, :3], np.tile(np.eye(3), (4, 1, 1)), atol=1e-6
+        )
+
+    def test_composition_maps_points_to_frame0(self):
+        from unsupervised_pseuso_lidar_tpu.eval.trajectory import (
+            integrate_relative_poses,
+            relative_matrices,
+        )
+
+        rng = np.random.default_rng(7)
+        rel = rng.normal(scale=0.3, size=(5, 6)).astype(np.float32)
+        poses = integrate_relative_poses(rel, mode="axis_angle")
+        mats = relative_matrices(rel, mode="axis_angle")
+        # a point seen in the LAST camera frame, walked back through the
+        # inverse chain, must equal P_N applied directly
+        x = np.append(rng.normal(size=3), 1.0)
+        walked = x.copy()
+        for t in mats[::-1]:
+            walked = np.linalg.solve(t, walked)
+        np.testing.assert_allclose(poses[-1] @ x, walked, atol=1e-4)
+
+    def test_kitti_odometry_lines_format(self):
+        from unsupervised_pseuso_lidar_tpu.eval.trajectory import (
+            integrate_relative_poses,
+            kitti_odometry_lines,
+        )
+
+        rel = np.zeros((2, 6), np.float32)
+        lines = kitti_odometry_lines(integrate_relative_poses(rel))
+        assert len(lines) == 3
+        first = np.asarray(lines[0].split(), dtype=float)
+        assert first.shape == (12,)
+        np.testing.assert_allclose(
+            first.reshape(3, 4), np.eye(4)[:3], atol=1e-9
+        )

@@ -1,0 +1,130 @@
+"""Odometry export: pose-net trajectory over raw KITTI drives.
+
+Runs the pose network over every sliding window of the configured drive
+tree (data.kitti.UnSupStackedDataset — the reference's GT-less stacked
+dataset, /root/reference/dataloaders.py:176-251), integrates the
+(t -> t+1) relative poses into camera-to-world poses, and writes the
+standard KITTI odometry format. Optionally writes the OXTS ground-truth
+trajectory next to it and reports eval/pose.py metrics over the drive.
+
+Usage:
+  python -m unsupervised_pseuso_lidar_tpu.cli.odometry \
+      --config configs/basic_config.yaml --out poses.txt \
+      [--gt-out gt_poses.txt] [--max-windows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Pose-net odometry export")
+    parser.add_argument("--config", default="configs/basic_config.yaml")
+    parser.add_argument("--checkpoint", default=None,
+                        help="checkpoint dir override (latest epoch loads)")
+    parser.add_argument("--out", required=True,
+                        help="predicted trajectory (KITTI odometry format)")
+    parser.add_argument("--gt-out", default=None,
+                        help="also write the OXTS ground-truth trajectory")
+    parser.add_argument("--max-windows", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from unsupervised_pseuso_lidar_tpu.data.kitti import (
+        UnSupStackedDataset,
+        collate,
+    )
+    from unsupervised_pseuso_lidar_tpu.eval.pose import pose_errors
+    from unsupervised_pseuso_lidar_tpu.eval.trajectory import (
+        integrate_relative_poses,
+        kitti_odometry_lines,
+        relative_matrices,
+    )
+    from unsupervised_pseuso_lidar_tpu.train.config import load_config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import (
+        Trainer,
+        normalize_uint8_batch,
+    )
+
+    config = load_config(args.config)
+    config.action.from_scratch = False  # restore the latest checkpoint
+    if args.checkpoint:
+        config.action.checkpoint_dir = args.checkpoint
+
+    dataset = UnSupStackedDataset(config)
+    if len(dataset) == 0:
+        raise SystemExit(
+            f"error: no sliding windows under {config.datasets.path!r} "
+            "(expected <root>/<date>/<drive>_sync/image_02/data/*.png)"
+        )
+    trainer = Trainer(config, dataset=dataset)
+    pose_model, state = trainer.pose_model, trainer.state
+
+    @jax.jit
+    def predict(params, batch_stats, batch):
+        batch = normalize_uint8_batch(batch)
+        pose_in = {"params": params["pose"]}
+        if batch_stats["pose"]:
+            pose_in["batch_stats"] = batch_stats["pose"]
+        return pose_model.apply(
+            pose_in,
+            batch["tgt"],
+            [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
+        )
+
+    indices = list(range(len(dataset)))
+    if args.max_windows:
+        indices = indices[: args.max_windows]
+    batch_size = config.action.batch_size
+
+    rel_pred, rel_gt = [], []
+    for start in range(0, len(indices), batch_size):
+        chunk = indices[start : start + batch_size]
+        batch = collate(
+            [dataset.load_sample(i, with_groundtruth=False) for i in chunk]
+        )
+        poses = np.asarray(predict(state.params, state.batch_stats, batch))
+        rel_pred.append(poses)            # [b, 2, 6] (tgt->t-1, tgt->t+1)
+        rel_gt.append(np.asarray(batch["oxts"]))
+
+    pred = np.concatenate(rel_pred, axis=0)
+    gt = np.concatenate(rel_gt, axis=0)
+
+    def world_trajectory(rel, mode):
+        # window k is centered at frame k+1, so rel[:, 1] chains
+        # (k+1 -> k+2) transforms starting at camera 1. Window 0's FIRST
+        # transform (tgt -> t-1, i.e. frame1 -> frame0 coords) IS camera
+        # 1's pose in the frame-0 world: X_0 = T_10 X_1. Frame 0 is the
+        # identity; frames 1+j left-compose T_10 with the camera-1-relative
+        # chain.
+        chain = integrate_relative_poses(rel[:, 1], mode=mode)  # [N+1,4,4]
+        t10 = relative_matrices(rel[:1, 0], mode=mode)[0]
+        world = np.einsum("ij,njk->nik", t10, chain)
+        return np.concatenate([np.eye(4)[None], world], axis=0)
+
+    lines = kitti_odometry_lines(world_trajectory(pred, "axis_angle"))
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    metrics = {
+        f"pose_{k}": float(v)
+        for k, v in pose_errors(pred, gt).items()
+    }
+    metrics["frames"] = len(lines)
+    if args.gt_out:
+        with open(args.gt_out, "w") as f:
+            f.write(
+                "\n".join(kitti_odometry_lines(world_trajectory(gt, "euler")))
+                + "\n"
+            )
+    print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                      for k, v in metrics.items()}, indent=2))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,7 @@ def sample_with_impl(
     impl: str = "gather",
     padding_mode: str = "zeros",
     mesh=None,
+    col_band: int | None = None,
 ) -> jax.Array:
     """Bilinear-sample `img` at normalized `coords` with the selected
     implementation (see inverse_warp_from_matrix for the impl contract).
@@ -123,7 +124,12 @@ def sample_with_impl(
     Pallas kernel is wrapped in shard_map over the "data" axis —
     pallas_call does not partition under GSPMD, but the kernel's grid is
     per-batch-row so batch-dim sharding is exact: each shard runs the
-    kernel on its local rows and no collective is needed."""
+    kernel on its local rows and no collective is needed.
+
+    col_band: the fused kernel's column-window width (None = auto, 384 on
+    lane-aligned widths >= 512); narrower windows cut the dominant dot's
+    FLOPs proportionally at the cost of horizontal-flow coverage
+    (`col_coverage` monitors it). Ignored by 'gather'/'mxu'."""
     if impl in ("mxu", "pallas"):
         if padding_mode != "zeros":
             raise ValueError(
@@ -139,6 +145,11 @@ def sample_with_impl(
                 grid_sample_mxu_fused,
             )
 
+            def fused(i, c):
+                # positional band_pad/rows_per_block/interpret/col_band:
+                # they are custom_vjp nondiff args
+                return grid_sample_mxu_fused(i, c, 12, 8, None, col_band)
+
             if (
                 mesh is not None
                 and "data" in mesh.axis_names
@@ -149,7 +160,7 @@ def sample_with_impl(
 
                 spec = P("data")
                 sharded = jax.shard_map(
-                    grid_sample_mxu_fused,
+                    fused,
                     mesh=mesh,
                     in_specs=(spec, spec),
                     out_specs=spec,
@@ -159,7 +170,7 @@ def sample_with_impl(
                     check_vma=False,
                 )
                 return sharded(img, coords)
-            return grid_sample_mxu_fused(img, coords)
+            return fused(img, coords)
         return grid_sample_mxu(img, coords)
     if impl != "gather":
         raise ValueError(f"Unknown warp impl: {impl}")
@@ -200,6 +211,7 @@ def coverage_from_coords(
     band_pad: int = 12,
     rows_per_block: int = 8,
     include_col: bool = True,
+    col_band: int | None = None,
 ):
     """Banded-kernel approximation coverage from already-computed coords.
 
@@ -214,7 +226,7 @@ def coverage_from_coords(
     out = {"band_coverage": band_coverage(coords, band_pad, rows_per_block)}
     if include_col:
         out["col_coverage"] = col_coverage(
-            coords, None, rows_per_block, band_pad
+            coords, col_band, rows_per_block, band_pad
         )
     return jax.lax.stop_gradient(out)
 

@@ -55,6 +55,7 @@ def reprojection_loss(
     warp_impl: str = "gather",
     with_coverage: bool = False,
     mesh=None,
+    col_band: int | None = None,
 ):
     """Bidirectional multi-scale reprojection loss.
 
@@ -134,9 +135,13 @@ def reprojection_loss(
     k_tiled = jnp.tile(intrinsics, (jobs, 1, 1))
 
     coords = warp_coords(depth, transform, k_tiled)
-    warped = sample_with_impl(src, coords, impl=warp_impl, mesh=mesh)
+    warped = sample_with_impl(
+        src, coords, impl=warp_impl, mesh=mesh, col_band=col_band
+    )
     coverage = (
-        coverage_from_coords(coords, include_col=(warp_impl == "pallas"))
+        coverage_from_coords(
+            coords, include_col=(warp_impl == "pallas"), col_band=col_band
+        )
         if with_coverage
         else None
     )
@@ -168,6 +173,7 @@ def min_reprojection_loss(
     warp_impl: str = "gather",
     with_coverage: bool = False,
     mesh=None,
+    col_band: int | None = None,
 ):
     """monodepth2-style per-pixel-min reprojection with binary automasking.
 
@@ -206,11 +212,14 @@ def min_reprojection_loss(
         coords = warp_coords(
             jnp.tile(depth_full, (2, 1, 1)), transform, k_tiled
         )
-        warped = sample_with_impl(src, coords, impl=warp_impl, mesh=mesh)
+        warped = sample_with_impl(
+            src, coords, impl=warp_impl, mesh=mesh, col_band=col_band
+        )
         if with_coverage:
             coverages.append(
                 coverage_from_coords(
-                    coords, include_col=(warp_impl == "pallas")
+                    coords, include_col=(warp_impl == "pallas"),
+                    col_band=col_band,
                 )
             )
         err = photometric_loss(

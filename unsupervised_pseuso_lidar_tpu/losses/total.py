@@ -31,6 +31,7 @@ def total_loss(
     warp_impl: str = "gather",
     with_coverage: bool = False,
     mesh=None,
+    col_band: int | None = None,
 ):
     """Compute (reprojection_loss, smoothness_loss)
     — or (reprojection_loss, smoothness_loss, coverage_dict) when
@@ -64,12 +65,13 @@ def total_loss(
 
         loss_reproj = min_reprojection_loss(
             tgt, refs, depths[0], poses, intrinsics, warp_impl=warp_impl,
-            with_coverage=with_coverage, mesh=mesh,
+            with_coverage=with_coverage, mesh=mesh, col_band=col_band,
         )
     else:
         loss_reproj = reprojection_loss(
             tgt, refs, depths, poses, intrinsics, mode=mode,
             warp_impl=warp_impl, with_coverage=with_coverage, mesh=mesh,
+            col_band=col_band,
         )
     coverage = None
     if with_coverage:

@@ -102,6 +102,11 @@ class ActionConfig:
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
     warp_impl: str = "mxu"  # 'mxu' = band-matmul warp (fast); 'gather' = exact
+    # fused-Pallas-warp column-window width (0 = auto: 384 on lane-aligned
+    # widths >= 512). Must be a positive multiple of 128 when set; narrower
+    # = fewer warp FLOPs, less horizontal-flow coverage (col_coverage
+    # metric guards). Only warp_impl='pallas' consumes it.
+    warp_col_band: int = 0
     precision: str = "fp32"  # 'fp32' | 'bf16' (bf16 model compute, fp32 params/loss)
     accum_steps: int = 1
     remat: bool = False
@@ -191,6 +196,7 @@ class Config:
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
             warp_impl=act_raw.get("warp_impl", "mxu"),
+            warp_col_band=int(act_raw.get("warp_col_band", 0)),
             precision=act_raw.get("precision", "fp32"),
             accum_steps=int(act_raw.get("accum_steps", 1)),
             remat=bool(act_raw.get("remat", False)),
@@ -234,6 +240,14 @@ class Config:
         if self.action.warp_impl not in ("mxu", "gather", "pallas"):
             raise ValueError(
                 "action.warp_impl must be 'mxu', 'gather', or 'pallas'"
+            )
+        if self.action.warp_col_band and (
+            self.action.warp_col_band < 0
+            or self.action.warp_col_band % 128 != 0
+        ):
+            raise ValueError(
+                "action.warp_col_band must be 0 (auto) or a positive "
+                f"multiple of 128, got {self.action.warp_col_band}"
             )
         if self.action.eval_protocol not in ("none", "eigen"):
             raise ValueError("action.eval_protocol must be 'none' or 'eigen'")

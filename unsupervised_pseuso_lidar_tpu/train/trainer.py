@@ -237,6 +237,7 @@ def make_train_step_body(
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
     warp_impl: str = "mxu",
+    col_band: Optional[int] = None,
     accum_steps: int = 1,
     remat: bool = False,
     color_jitter: bool = False,
@@ -287,6 +288,7 @@ def make_train_step_body(
             smooth_weight=smooth_weight,
             smooth_on=smooth_on,
             warp_impl=warp_impl,
+            col_band=col_band,
             with_coverage=want_coverage,
             # pallas_call does not partition under GSPMD; under a mesh the
             # loss wraps the fused kernel in shard_map over "data" (batch
@@ -437,7 +439,7 @@ def make_multi_step(
 
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
                    semi_sup_pose=False, warp_impl="mxu",
-                   median_scale=False, mesh=None,
+                   col_band=None, median_scale=False, mesh=None,
                    eval_protocol="none") -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
 
@@ -474,6 +476,7 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
             batch["intrinsics"],
             mode=loss_mode,
             warp_impl=warp_impl,
+            col_band=col_band,
             mesh=mesh,
         )
         depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
@@ -545,6 +548,7 @@ class Trainer:
             smooth_weight=config.action.smooth_weight,
             smooth_on=config.action.smooth_on,
             warp_impl=config.action.warp_impl,
+            col_band=config.action.warp_col_band or None,
             accum_steps=config.action.accum_steps,
             remat=config.action.remat,
             color_jitter=config.datasets.augmentation.color_jitter,
@@ -558,6 +562,7 @@ class Trainer:
             loss_mode=config.action.loss_mode,
             semi_sup_pose=config.action.semi_sup_pose,
             warp_impl=config.action.warp_impl,
+            col_band=config.action.warp_col_band or None,
             median_scale=config.action.eval_median_scale,
             mesh=mesh,
             eval_protocol=config.action.eval_protocol,
