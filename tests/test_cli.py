@@ -96,6 +96,36 @@ def test_odometry_cli(cli_config, mini_kitti, tmp_path):  # noqa: F811
     assert np.isfinite(metrics["pose_ate"])
 
 
+def test_odometry_cli_multi_drive(cli_config, mini_kitti, tmp_path):  # noqa: F811
+    # two drives must yield two per-drive trajectory files, never one
+    # chain composed across recordings
+    import shutil
+
+    import yaml
+
+    root = tmp_path / "kitti2"
+    shutil.copytree(mini_kitti["kitti"], root)
+    src = root / DATE / DRIVE
+    shutil.copytree(src, root / DATE / f"{DATE}_drive_0002_sync")
+
+    from unsupervised_pseuso_lidar_tpu.cli import odometry as odo_cli
+
+    config = yaml.safe_load(open(cli_config))
+    config["datasets"]["path"] = str(root)
+    cfg2 = tmp_path / "config2.yaml"
+    cfg2.write_text(yaml.safe_dump(config))
+
+    out = str(tmp_path / "poses.txt")
+    metrics = odo_cli.main(["--config", str(cfg2), "--out", out])
+    assert metrics["drives"] == 2
+    assert metrics["frames"] == 2 * NUM_FRAMES
+    assert not os.path.exists(out)  # multi-drive -> suffixed files
+    assert os.path.exists(str(tmp_path / f"poses_{DRIVE}.txt"))
+    assert os.path.exists(
+        str(tmp_path / f"poses_{DATE}_drive_0002_sync.txt")
+    )
+
+
 def test_splits_cli(mini_kitti, tmp_path):  # noqa: F811
     from unsupervised_pseuso_lidar_tpu.cli import splits as splits_cli
 

@@ -76,23 +76,32 @@ def main(argv=None):
             [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
         )
 
-    indices = list(range(len(dataset)))
-    if args.max_windows:
-        indices = indices[: args.max_windows]
+    import os
+
+    # windows never span drives (data/kitti.py window filter), but the
+    # SAMPLE LIST does: group by drive so each trajectory chain is one
+    # continuous drive, not a bogus composition across recordings
+    by_drive: dict = {}
+    for i, sample in enumerate(dataset.samples):
+        drive = os.path.dirname(os.path.dirname(os.path.dirname(sample.tgt)))
+        by_drive.setdefault(drive, []).append(i)
+
     batch_size = config.action.batch_size
 
-    rel_pred, rel_gt = [], []
-    for start in range(0, len(indices), batch_size):
-        chunk = indices[start : start + batch_size]
-        batch = collate(
-            [dataset.load_sample(i, with_groundtruth=False) for i in chunk]
-        )
-        poses = np.asarray(predict(state.params, state.batch_stats, batch))
-        rel_pred.append(poses)            # [b, 2, 6] (tgt->t-1, tgt->t+1)
-        rel_gt.append(np.asarray(batch["oxts"]))
-
-    pred = np.concatenate(rel_pred, axis=0)
-    gt = np.concatenate(rel_gt, axis=0)
+    def predict_drive(indices):
+        rel_pred, rel_gt = [], []
+        for start in range(0, len(indices), batch_size):
+            chunk = indices[start : start + batch_size]
+            batch = collate(
+                [dataset.load_sample(i, with_groundtruth=False)
+                 for i in chunk]
+            )
+            poses = np.asarray(
+                predict(state.params, state.batch_stats, batch)
+            )
+            rel_pred.append(poses)        # [b, 2, 6] (tgt->t-1, tgt->t+1)
+            rel_gt.append(np.asarray(batch["oxts"]))
+        return np.concatenate(rel_pred, axis=0), np.concatenate(rel_gt, axis=0)
 
     def world_trajectory(rel, mode):
         # window k is centered at frame k+1, so rel[:, 1] chains
@@ -106,21 +115,43 @@ def main(argv=None):
         world = np.einsum("ij,njk->nik", t10, chain)
         return np.concatenate([np.eye(4)[None], world], axis=0)
 
-    lines = kitti_odometry_lines(world_trajectory(pred, "axis_angle"))
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+    def out_path(base, drive, multi):
+        if not multi:
+            return base
+        stem, ext = os.path.splitext(base)
+        return f"{stem}_{os.path.basename(drive)}{ext or '.txt'}"
 
-    metrics = {
-        f"pose_{k}": float(v)
-        for k, v in pose_errors(pred, gt).items()
-    }
-    metrics["frames"] = len(lines)
-    if args.gt_out:
-        with open(args.gt_out, "w") as f:
-            f.write(
-                "\n".join(kitti_odometry_lines(world_trajectory(gt, "euler")))
-                + "\n"
-            )
+    multi = len(by_drive) > 1
+    metrics: dict = {"drives": len(by_drive), "frames": 0}
+    all_pred, all_gt = [], []
+    for drive, indices in sorted(by_drive.items()):
+        if args.max_windows:
+            indices = indices[: args.max_windows]
+        pred, gt = predict_drive(indices)
+        all_pred.append(pred)
+        all_gt.append(gt)
+        lines = kitti_odometry_lines(world_trajectory(pred, "axis_angle"))
+        with open(out_path(args.out, drive, multi), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        metrics["frames"] += len(lines)
+        if args.gt_out:
+            with open(out_path(args.gt_out, drive, multi), "w") as f:
+                f.write(
+                    "\n".join(
+                        kitti_odometry_lines(world_trajectory(gt, "euler"))
+                    )
+                    + "\n"
+                )
+
+    metrics.update(
+        {
+            f"pose_{k}": float(v)
+            for k, v in pose_errors(
+                np.concatenate(all_pred, axis=0),
+                np.concatenate(all_gt, axis=0),
+            ).items()
+        }
+    )
     print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
                       for k, v in metrics.items()}, indent=2))
     return metrics
