@@ -97,6 +97,16 @@ def main(argv=None):
     args = parser.parse_args(argv)
     args.steps = max(1, args.steps)
     args.unroll = max(1, args.unroll)
+    if args.col_band and (args.col_band < 0 or args.col_band % 128):
+        parser.error(
+            f"--col-band must be 0 (auto) or a positive multiple of 128, "
+            f"got {args.col_band}"
+        )
+    if args.col_band and args.col_band >= args.width:
+        print(
+            f"# --col-band {args.col_band} >= width {args.width}: the "
+            "kernel runs UNBANDED (full-width dots)", file=sys.stderr,
+        )
 
     # Persistent compile cache: first bench run on a fresh chip pays the
     # ~20-40s compile once; later runs start hot.

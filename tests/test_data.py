@@ -151,10 +151,17 @@ class TestSplitPrep:
         np.testing.assert_allclose(
             item["intrinsics"][0, 0], 721.5377 * 32 / IMG_W, rtol=1e-5
         )
-        # oxts: eastward motion -> nonzero camera-frame translation,
-        # zeroed rotation block (reference semantics dataloaders.py:116)
-        np.testing.assert_allclose(item["oxts"][:, :3], 0.0)
-        assert abs(item["oxts"]).max() > 0
+        # oxts: eastward motion at constant heading -> nonzero
+        # camera-frame translation, ~zero axis-angle rotation (the
+        # warp-convention 6-vec, geometry/oxts.relative_pose_6dof; the
+        # reference zeroed the block outright, dataloaders.py:116)
+        np.testing.assert_allclose(item["oxts"][:, :3], 0.0, atol=1e-5)
+        assert abs(item["oxts"][:, 3:]).max() > 0
+        # tgt->ref direction: ref0 (earlier, west of tgt) and ref1
+        # (later, east) sit on opposite sides, so the two translations
+        # point opposite ways
+        dots = float(np.dot(item["oxts"][0, 3:], item["oxts"][1, 3:]))
+        assert dots < 0
 
     def test_ref_offset_respected(self, mini_kitti, tmp_path):
         split_path = str(tmp_path / "split3.txt")

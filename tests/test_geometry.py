@@ -469,3 +469,97 @@ class TestDecomposeProjection:
             np.testing.assert_allclose(
                 x[:2] / x[2], x_ref[:2] / x_ref[2], atol=1e-9
             )
+
+
+class TestRelativePose6dof:
+    """oxts -> warp-convention 6-vec (geometry/oxts.relative_pose_6dof).
+
+    The reference composes the INVERSE direction and zeroes rotation
+    (dataloaders.py:65-69,108-116 + its open 'TODO: rotation relative');
+    these tests pin the corrected semantics: the 6-vec parameterizes the
+    tgt -> ref transform in the pose-net/warp convention (axis-angle)."""
+
+    def test_pure_translation_direction(self):
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry.oxts import (
+            relative_pose_6dof,
+        )
+
+        # camera advances +2 m along world/IMU x between tgt and ref
+        # (identity imu_to_cam): the tgt origin sits at -2 x in the ref
+        # frame, so the warp-convention translation is (-2, 0, 0)
+        t_w_tgt = np.eye(4)
+        t_w_ref = np.eye(4)
+        t_w_ref[0, 3] = 2.0
+        vec = relative_pose_6dof(t_w_tgt, t_w_ref, np.eye(4))
+        np.testing.assert_allclose(vec[:3], 0.0, atol=1e-7)
+        np.testing.assert_allclose(vec[3:], [-2.0, 0.0, 0.0], atol=1e-6)
+
+    def test_rotation_is_axis_angle_of_relative_rotation(self):
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry.oxts import (
+            relative_pose_6dof,
+            rotz,
+        )
+
+        theta = np.radians(30.0)
+        t_w_tgt = np.eye(4)
+        t_w_ref = np.eye(4)
+        t_w_ref[:3, :3] = rotz(theta)  # ref axes yawed +theta in world
+        vec = relative_pose_6dof(t_w_tgt, t_w_ref, np.eye(4))
+        # T_{ref<-tgt} = inv(T_w_ref) = Rz(-theta) -> axis-angle (0,0,-theta)
+        np.testing.assert_allclose(vec[:3], [0, 0, -theta], atol=1e-6)
+        np.testing.assert_allclose(vec[3:], 0.0, atol=1e-7)
+
+    def test_matches_warp_pose_matrix(self):
+        # the 6-vec, pushed through the warp's own pose_matrix, must
+        # reproduce the exact relative camera transform
+        import jax.numpy as jnp
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry.oxts import (
+            relative_pose_6dof,
+            rotx,
+            rotz,
+        )
+        from unsupervised_pseuso_lidar_tpu.geometry.se3 import pose_matrix
+
+        t_w_tgt = np.eye(4)
+        t_w_tgt[:3, :3] = rotz(0.2)
+        t_w_tgt[:3, 3] = [1.0, -2.0, 0.5]
+        t_w_ref = np.eye(4)
+        t_w_ref[:3, :3] = rotz(0.3) @ rotx(0.05)
+        t_w_ref[:3, 3] = [1.5, -2.2, 0.4]
+        imu_to_cam = np.eye(4)
+        imu_to_cam[:3, :3] = rotx(np.pi / 2)  # a nontrivial mount
+
+        vec = relative_pose_6dof(t_w_tgt, t_w_ref, imu_to_cam)
+        rebuilt = np.asarray(pose_matrix(jnp.asarray(vec[None]))[0])
+        expect = (
+            imu_to_cam
+            @ np.linalg.inv(t_w_ref)
+            @ t_w_tgt
+            @ np.linalg.inv(imu_to_cam)
+        )
+        np.testing.assert_allclose(rebuilt, expect, atol=1e-5)
+
+    def test_axis_angle_log_small_and_finite_angles(self):
+        import numpy as np
+
+        from unsupervised_pseuso_lidar_tpu.geometry.oxts import (
+            axis_angle_from_matrix,
+            rotz,
+        )
+
+        np.testing.assert_allclose(
+            axis_angle_from_matrix(np.eye(3)), 0.0, atol=1e-12
+        )
+        tiny = 1e-9
+        np.testing.assert_allclose(
+            axis_angle_from_matrix(rotz(tiny)), [0, 0, tiny], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            axis_angle_from_matrix(rotz(1.0)), [0, 0, 1.0], atol=1e-7
+        )

@@ -64,6 +64,11 @@ def main(argv=None):
         config.action.eval_protocol = args.protocol
     if args.velo_gt:
         config.datasets.velo_gt = True
+    if args.pose_metrics:
+        # pose metrics ride inside the jitted eval step (trainer
+        # make_eval_step pose_metrics=True) — same pose forward the loss
+        # already runs, one pass over the split
+        config.action.eval_pose = True
 
     dataset = UnSupKittiDataset(config)
     trainer = Trainer(config, dataset=dataset)
@@ -79,24 +84,6 @@ def main(argv=None):
         dataset.batches(indices, batch_size, config.action.num_workers,
                         drop_last=False)
     )
-    if args.pose_metrics:
-        from unsupervised_pseuso_lidar_tpu.eval.pose import make_pose_eval_step
-
-        pose_step = make_pose_eval_step(
-            trainer.pose_model, semi_sup_pose=config.action.semi_sup_pose
-        )
-        sums: dict = {}
-        count = 0
-        for batch in dataset.batches(indices, batch_size,
-                                     config.action.num_workers,
-                                     drop_last=False):
-            pm = pose_step(trainer.state, trainer._device_batch(batch))
-            for k, v in pm.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        metrics.update(
-            {f"pose_{k}": v / max(count, 1) for k, v in sums.items()}
-        )
     print(json.dumps({k: round(v, 5) for k, v in metrics.items()}, indent=2))
     return metrics
 

@@ -138,7 +138,9 @@ def main(argv=None):
             with open(out_path(args.gt_out, drive, multi), "w") as f:
                 f.write(
                     "\n".join(
-                        kitti_odometry_lines(world_trajectory(gt, "euler"))
+                        kitti_odometry_lines(
+                            world_trajectory(gt, "axis_angle")
+                        )
                     )
                     + "\n"
                 )

@@ -19,12 +19,14 @@ SfMLearner-family protocol:
   * **rot_err_deg**: geodesic angle of R_pred @ R_gt^T, the
     rotation-part analog, in degrees (scale alignment does not apply).
 
-Conventions: the pose net emits 6-vecs consumed through the axis-angle
-path (geometry/se3.pose_matrix — rot = vec[:3] as an axis-angle), while
-OXTS odometry 6-vecs carry Euler angles (geometry/oxts.py builds them
-via mat2euler, /root/reference/dataloaders.py:108-116). Each side is
-converted with ITS OWN convention before comparison, so the metric is
-exact even at large angles where the two parameterizations diverge.
+Conventions: both the pose net and the data pipeline's `oxts` field emit
+warp-convention 6-vecs — axis-angle rotation, tgt -> ref direction
+(geometry/oxts.relative_pose_6dof standardizes the KITTI loader on it;
+data/synthetic.py already used it) — so the default comparison is
+axis-angle vs axis-angle. `gt_mode='euler'` remains available for
+external euler-parameterized trajectories; each side is converted with
+its own convention, so the metric is exact even at large angles where
+the parameterizations diverge.
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ def pose_errors(
     pred_poses: jax.Array,
     gt_poses: jax.Array,
     pred_mode: str = "axis_angle",
-    gt_mode: str = "euler",
+    gt_mode: str = "axis_angle",
     eps: float = 1e-8,
 ) -> Dict[str, jax.Array]:
     """Snippet ATE + rotation error between predicted and GT pose sets.
@@ -68,7 +70,8 @@ def pose_errors(
         per snippet; the training layout is N=2: tgt->t-1, tgt->t+1).
       gt_poses: [B, N, 6] ground-truth vectors (same layout).
       pred_mode / gt_mode: rotation convention of each side —
-        'axis_angle' (the pose-net/warp path) or 'euler' (OXTS odometry).
+        'axis_angle' (the pose-net/warp/oxts convention) or 'euler'
+        (external euler-parameterized pose sets).
     Returns:
       {'ate': scale-aligned snippet ATE (same unit as the GT translations),
        'ate_unscaled': ATE without the per-snippet scale alignment,
@@ -119,7 +122,7 @@ def make_pose_eval_step(pose_model, semi_sup_pose: bool = False):
         batch = normalize_uint8_batch(batch)
         if semi_sup_pose:
             poses = batch["oxts"]
-            pred_mode = "euler"
+            pred_mode = "axis_angle"  # oxts IS the warp convention
         else:
             pose_in = {"params": state.params["pose"]}
             if state.batch_stats["pose"]:

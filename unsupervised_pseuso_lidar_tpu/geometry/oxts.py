@@ -138,21 +138,59 @@ def load_oxts_data(oxts_files: Sequence[str]) -> List[OxtsData]:
     return out
 
 
+def axis_angle_from_matrix(rot: np.ndarray) -> np.ndarray:
+    """SO(3) log map: [3, 3] rotation -> axis-angle vector (host numpy).
+
+    Stable at small angles (first-order skew extraction) and clamped at
+    the arccos boundary; inter-frame KITTI rotations are << pi so the
+    theta ~ pi singular branch is not needed."""
+    trace = float(np.trace(rot))
+    cos = np.clip((trace - 1.0) / 2.0, -1.0, 1.0)
+    theta = float(np.arccos(cos))
+    skew = np.array(
+        [rot[2, 1] - rot[1, 2], rot[0, 2] - rot[2, 0], rot[1, 0] - rot[0, 1]]
+    )
+    if theta < 1e-7:
+        return 0.5 * skew  # log(R) ~ (R - R^T)/2 for small angles
+    return skew * (theta / (2.0 * np.sin(theta)))
+
+
 def relative_pose_6dof(
     origin_world: np.ndarray, target_world: np.ndarray, imu_to_cam: np.ndarray
 ) -> np.ndarray:
-    """Camera-frame relative odometry as a 6-vector [0,0,0, tx,ty,tz].
+    """Camera-frame relative odometry as a WARP-CONVENTION 6-vector
+    [rx, ry, rz, tx, ty, tz] (axis-angle rotation, origin -> target).
 
-    odo = imu_to_cam @ origin^-1 @ target @ imu_to_cam^-1, then the
-    translation is concatenated after a zeroed rotation block — matching
-    the reference's semi-supervised pose target assembly
-    (/root/reference/dataloaders.py:65-69,108-116, which zeroes the euler
-    angles at :116).
+    The returned vector parameterizes the transform that maps ORIGIN
+    (target-frame) camera coordinates into the TARGET (reference-frame)
+    camera — exactly the pose-net output convention consumed by the warp
+    (geometry/se3.pose_matrix), so `action.semi_sup_pose` is a drop-in
+    pose-net replacement and eval/pose.py compares like with like. The
+    synthetic dataset's oxts field uses the same convention
+    (data/synthetic.py).
+
+    Documented deviations from the reference assembly
+    (/root/reference/dataloaders.py:65-69,108-116):
+      * direction: the reference composes inv(T_w_tgt) @ T_w_ref — the
+        ref->tgt transform, the INVERSE of what its own warp consumes,
+        which sign-flips every translation fed to the semi-supervised
+        loss (the confusion its notes/what_the_hell.txt pose dumps
+        chase). Here: C @ inv(T_w_ref) @ T_w_tgt @ C^-1.
+      * rotation: the reference zeroes the block with an open
+        "TODO: rotation relative" (dataloaders.py:114-116); implemented
+        here as the axis-angle log of the relative rotation (matching
+        the warp's pose parameterization, not the TODO's euler sketch).
     """
-    odo = imu_to_cam @ np.linalg.inv(origin_world) @ target_world @ np.linalg.inv(
-        imu_to_cam
+    cam_from_imu = imu_to_cam
+    odo = (
+        cam_from_imu
+        @ np.linalg.inv(target_world)
+        @ origin_world
+        @ np.linalg.inv(cam_from_imu)
     )
-    return np.concatenate([np.zeros(3), odo[:3, 3]]).astype(np.float32)
+    return np.concatenate(
+        [axis_angle_from_matrix(odo[:3, :3]), odo[:3, 3]]
+    ).astype(np.float32)
 
 
 def load_velo_scan(filename: str) -> np.ndarray:

@@ -264,6 +264,19 @@ def _bwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
     jax.lax.fori_loop(0, num_tiles // 8, tile8, 0)
 
 
+def band_window_rows(rows_per_block: int, band_pad: int) -> tuple:
+    """(band_rows, win_rows) for the kernel's tiling — the SINGLE source
+    of truth shared by _prepare, col_coverage, and fused_warp_flops.
+
+    band_rows includes the +16 Mosaic sublane-alignment pad; win_rows is
+    WIN_ROWS when the band is 16-row sliceable with >= one 16-step of
+    play, else the whole band (windowing disabled)."""
+    band_rows = rows_per_block + 2 * band_pad + 16
+    if band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16:
+        return band_rows, WIN_ROWS
+    return band_rows, band_rows
+
+
 def resolve_col_band(width: int, col_band) -> int:
     """Concrete column-window width: `width` disables banding.
 
@@ -386,8 +399,10 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
 
     # Mosaic requires dynamic sublane slices at multiple-of-16 offsets:
     # pad plane height to 16 and align band starts down to 16 (band grows
-    # by 16 rows so coverage is preserved).
-    band_rows = band_rows + 16
+    # by 16 rows so coverage is preserved). band_window_rows is the single
+    # source of truth for this tiling (shared with col_coverage and
+    # fused_warp_flops).
+    band_rows, win_rows = band_window_rows(rows, pad)
     starts, k0, plane_rows = _band_starts_and_taps(
         y, height, rows, num_blocks, pad, band_rows
     )
@@ -430,16 +445,13 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     # beyond ~batch 36 (observed at b48: 1.7 MB > 1 MB)
     c0s = c0s.reshape(batch * num_blocks * num_tiles)
 
-    # Per-tile row window (see WIN_ROWS): only when the band is 16-row
-    # sliceable with at least one 16-step of play; otherwise the window
-    # IS the band and r0 stays 0 everywhere.
-    if band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16:
-        win_rows = WIN_ROWS
+    # Per-tile row window (see WIN_ROWS / band_window_rows): when
+    # windowing is disabled the window IS the band and r0 stays 0.
+    if win_rows < band_rows:
         r0s = _row_window_starts(k0_t, band_rows, win_rows)  # [B, T, NT]
         k0_t = k0_t - r0s[..., None]                   # window-relative
         r0s = r0s.reshape(batch * num_blocks * num_tiles)
     else:
-        win_rows = band_rows
         r0s = jnp.zeros((batch * num_blocks * num_tiles,), jnp.int32)
 
     shape = dict(
@@ -622,11 +634,7 @@ def fused_warp_flops(
     mirror x-interp + the d_onehot dot), over ceil(H/rows)*rows padded
     output rows."""
     wb = resolve_col_band(width, col_band)
-    band_rows = rows_per_block + 2 * band_pad + 16
-    if band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16:
-        win = WIN_ROWS
-    else:
-        win = band_rows
+    _, win = band_window_rows(rows_per_block, band_pad)
     pad_h = (-height) % rows_per_block
     pixels = batch * (height + pad_h) * width
     macs = pixels * 3 * win * wb
@@ -657,8 +665,8 @@ def col_coverage(
         # back to the mxu band warp, which has no column/row windows (and
         # the tile reshape below would fail)
         return jnp.ones(())
-    band_rows = rows + 2 * band_pad + 16
-    row_windowed = band_rows % 16 == 0 and band_rows - WIN_ROWS >= 16
+    band_rows, win_rows = band_window_rows(rows, band_pad)
+    row_windowed = win_rows < band_rows
     if wb >= width and not row_windowed:
         return jnp.ones(())
     pad_h = (-height) % rows
@@ -699,10 +707,10 @@ def col_coverage(
             y, height, rows, num_blocks, band_pad, band_rows
         )
         k0_t = to_tiles(k0_raw)
-        r0s = _row_window_starts(k0_t, band_rows, WIN_ROWS)
+        r0s = _row_window_starts(k0_t, band_rows, win_rows)
         k0 = k0_t - r0s[..., None]
         yok = [
-            ((k0 + d >= 0) & (k0 + d <= WIN_ROWS - 1))
+            ((k0 + d >= 0) & (k0 + d <= win_rows - 1))
             | (k0_t + d < 0) | (k0_t + d > band_rows - 1)
             for d in (0, 1)
         ]

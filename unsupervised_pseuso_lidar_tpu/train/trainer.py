@@ -440,7 +440,7 @@ def make_multi_step(
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
                    semi_sup_pose=False, warp_impl="mxu",
                    col_band=None, median_scale=False, mesh=None,
-                   eval_protocol="none") -> Callable:
+                   eval_protocol="none", pose_metrics=False) -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
 
     Parity: /root/reference/trainer.py:315-337 (validate) with the broken
@@ -449,7 +449,11 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
     eval_protocol='eigen' applies the standard KITTI Eigen-split monocular
     protocol: Garg crop + [1e-3, 80] m caps + per-image median scaling —
     use for parity runs against published monodepth numbers
-    (/root/reference/evaluate.py:6-39 defines the metric set)."""
+    (/root/reference/evaluate.py:6-39 defines the metric set).
+
+    pose_metrics=True adds pose_{ate, ate_unscaled, rot_err_deg, scale}
+    vs the batch's OXTS odometry (eval/pose.py) — computed from the SAME
+    pose forward the loss already ran, no extra model pass."""
     from unsupervised_pseuso_lidar_tpu.eval.metrics import (
         compute_errors,
         eigen_crop_mask,
@@ -468,6 +472,18 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
             depth_model, pose_model, state.params, state.batch_stats, batch,
             train=False, semi_sup_pose=semi_sup_pose,
         )
+        pose_extra = {}
+        if pose_metrics and "oxts" in batch:
+            from unsupervised_pseuso_lidar_tpu.eval.pose import pose_errors
+
+            # in semi-sup mode `poses` IS the oxts field: the metric
+            # degenerates to 0 by construction (documented in eval/pose)
+            pose_extra = {
+                f"pose_{k}": v
+                for k, v in pose_errors(
+                    jnp.asarray(poses, jnp.float32), batch["oxts"]
+                ).items()
+            }
         reproj, smooth = total_loss(
             batch["tgt"],
             [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
@@ -480,7 +496,7 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
             mesh=mesh,
         )
         depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
-        metrics = {"loss": reproj + smooth}
+        metrics = {"loss": reproj + smooth, **pose_extra}
         if "groundtruth" in batch:
             gt = batch["groundtruth"]
             mask = None
@@ -566,16 +582,8 @@ class Trainer:
             median_scale=config.action.eval_median_scale,
             mesh=mesh,
             eval_protocol=config.action.eval_protocol,
+            pose_metrics=config.action.eval_pose,
         )
-        self.pose_eval_step = None
-        if config.action.eval_pose:
-            from unsupervised_pseuso_lidar_tpu.eval.pose import (
-                make_pose_eval_step,
-            )
-
-            self.pose_eval_step = make_pose_eval_step(
-                self.pose_model, semi_sup_pose=config.action.semi_sup_pose
-            )
 
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
 
@@ -621,17 +629,11 @@ class Trainer:
         count = 0
         for batch in val_batches:
             # same placement path as training (mesh-sharded when active);
-            # groundtruth rides along for the metric computation
-            device_batch = self._device_batch(batch, keep_groundtruth=True)
-            metrics, _ = self.eval_step(self.state, device_batch)
-            if self.pose_eval_step is not None and "oxts" in batch:
-                # action.eval_pose: snippet ATE + rotation error vs the
-                # split's OXTS odometry (eval/pose.py)
-                pose_metrics = self.pose_eval_step(self.state, device_batch)
-                metrics = dict(
-                    metrics,
-                    **{f"pose_{k}": v for k, v in pose_metrics.items()},
-                )
+            # groundtruth rides along for the metric computation; pose
+            # metrics (action.eval_pose) ride inside eval_step itself
+            metrics, _ = self.eval_step(
+                self.state, self._device_batch(batch, keep_groundtruth=True)
+            )
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
