@@ -360,6 +360,37 @@ def main():
         float(const_errors["abs_rel"]), 4
     )
 
+    # 5c. pose-learning evidence from the SAME run: snippet ATE of the
+    # pose net vs the scene's exact ground-truth odometry (eval/pose.py),
+    # untrained init vs after the 1500 steps. The scale-aligned ATE is
+    # the meaningful number (monocular scale ambiguity); it must drop.
+    from unsupervised_pseuso_lidar_tpu.eval.pose import pose_errors
+
+    @jax.jit
+    def eval_pose(params, batch):
+        imgs = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.uint8 else x,
+            batch,
+        )
+        return pose16.apply(
+            {"params": params["pose"]},
+            imgs["tgt"],
+            [imgs["ref_imgs"][:, 0], imgs["ref_imgs"][:, 1]],
+        )
+
+    eval_pose_batch = {
+        k: jnp.asarray(eval_raw[k]) for k in ("tgt", "ref_imgs", "oxts")
+    }
+    gt_oxts = eval_pose_batch["oxts"]
+    ate_init = pose_errors(
+        eval_pose(state16.params, eval_pose_batch), gt_oxts
+    )
+    ate_trained = pose_errors(
+        eval_pose(s16.params, eval_pose_batch), gt_oxts
+    )
+    report[f"{tag}_pose_ate_init"] = round(float(ate_init["ate"]), 5)
+    report[f"{tag}_pose_ate"] = round(float(ate_trained["ate"]), 5)
+
     # 6. BTS serving model: single-frame depth at the ROS pipeline's input
     # size (352x1216, pseudo-lidar/DepthPipeline.py:43-49); reference target
     # rate is 10 Hz per node (DepthPipeline.py:93).
