@@ -245,6 +245,39 @@ def main():
     report["train_step_b4_1280x384_bf16_fps"] = round(4.0 / dt, 2)
     del state_ref, batch_ref  # free ~1.5 GB of HBM activations
 
+    # 4e. the RAW KITTI resolution (1242x375, configs/basic_config.yaml's
+    # alternative geometry): width 1242 is NOT a multiple of 128 — this
+    # row exists to show the fused Pallas warp's internal lane padding
+    # (ops/pallas/warp._prepare) keeps the kernel (and its 384-column
+    # window at the padded 1280 lanes) on the non-aligned shape.
+    config_raw = Config.from_dict(
+        {
+            "model": {
+                "name": "benchmatrix",
+                "depth": {"name": "DispResNet"},
+                "pose": {"name": "PoseNet"},
+            },
+            "datasets": {
+                "augmentation": {"image_width": 1242, "image_height": 375},
+            },
+            "action": {"batch_size": 4, "precision": "bf16"},
+        }
+    )
+    state_raw, depth_raw, pose_raw, tx_raw = create_train_state(
+        config_raw, jax.random.PRNGKey(0), 1000, dtype=jnp.bfloat16
+    )
+    raw_raw = synthetic_triplet_batch(4, 375, 1242, seed=4)
+    batch_raw = {
+        k: jnp.asarray(v) for k, v in raw_raw.items() if k != "groundtruth"
+    }
+    step_raw = make_train_step(
+        depth_raw, pose_raw, tx_raw, donate=False, warp_impl="pallas"
+    )
+    dt = timeit(lambda: step_raw(state_raw, batch_raw), max(args.steps // 2, 5))
+    report["train_step_b4_1242x375_bf16_ms"] = round(dt * 1e3, 3)
+    report["train_step_b4_1242x375_bf16_fps"] = round(4.0 / dt, 2)
+    del state_raw, batch_raw
+
     # 5. streaming epoch: loader -> prefetch -> train (host pipeline incl.)
     # Production convention: plain device_put prefetch (the tunnel moves
     # ~700 MB/s as of r2 — chunking, which won r1's 15-36 MB/s link, now

@@ -385,3 +385,80 @@ class TestColBandKnob:
         assert cfg.action.warp_col_band == 256
         with pytest.raises(ValueError, match="warp_col_band"):
             Config.from_dict({**base, "action": {"warp_col_band": 100}})
+
+
+class TestAnyWidthPadding:
+    """Lane-padding: the fused kernel serves non-128-multiple widths
+    (e.g. KITTI-native 1242) by padding planes with zero columns and the
+    grid with out-of-image sentinels (_prepare docstring)."""
+
+    def _case(self, width, height=16, batch=1, seed=11):
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(
+            rng.integers(0, 256, (batch, height, width, 3)), jnp.float32
+        )
+        xs = np.linspace(-1, 1, width)
+        ys = np.linspace(-1, 1, height)
+        base = np.stack(np.meshgrid(xs, ys), axis=-1)[None]
+        flow = np.stack(
+            [rng.uniform(-0.05, 0.05, (batch, height, width)),
+             rng.uniform(-0.1, 0.1, (batch, height, width))],
+            axis=-1,
+        )
+        return img, jnp.asarray(base + flow, jnp.float32)
+
+    @pytest.mark.parametrize("width", [96, 250, 1242])
+    def test_matches_gather(self, width):
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
+        img, grid = self._case(width)
+        got = grid_sample_mxu_fused(img, grid, 12, 8, True)
+        ref = grid_sample(img, grid, align_corners=True,
+                          padding_mode="zeros")
+        # bf16 plane rounding bounds the error
+        assert float(jnp.max(jnp.abs(got - ref))) < 1.5
+
+    def test_grid_gradients_match_mxu_at_1242(self):
+        # oracle = the XLA band-matmul warp (same bf16 source planes),
+        # probed through a LINEAR functional: nonlinear losses (e.g.
+        # |out - c|) flip sign wherever the two implementations round a
+        # near-c output differently, swapping entire per-pixel gradients
+        # and swamping the actual VJP comparison
+        import jax
+
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+
+        img, grid = self._case(1242, height=8)
+        rng = np.random.default_rng(5)
+        w = jnp.asarray(rng.normal(size=(1, 8, 1242, 3)), jnp.float32)
+
+        def loss(fn, g):
+            return jnp.mean(fn(img, g) * w)
+
+        g_ref = jax.grad(lambda g: loss(
+            lambda i, gg: grid_sample_mxu(i, gg, band_pad=12), g))(grid)
+        g_fus = jax.grad(lambda g: loss(
+            lambda i, gg: grid_sample_mxu_fused(i, gg, 12, 8, True), g
+        ))(grid)
+        assert g_fus.shape == grid.shape
+        scale = max(float(jnp.abs(g_ref).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
+        )
+
+    def test_col_coverage_engages_at_1242(self):
+        # padded to 1280 -> the 384-column window applies; a tiny local
+        # flow keeps every tap inside it
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            col_coverage,
+        )
+
+        _, grid = self._case(1242)
+        cov = float(col_coverage(grid))
+        assert cov == pytest.approx(1.0, abs=1e-6)

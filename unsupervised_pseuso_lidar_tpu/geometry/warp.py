@@ -136,11 +136,10 @@ def sample_with_impl(
                 f"impl={impl!r} supports padding_mode='zeros' only"
             )
         batch, _, width, channels = img.shape
-        if (
-            impl == "pallas"
-            and channels == 3
-            and (8 * width) % 1024 == 0
-        ):
+        # the fused kernel lane-pads any width internally (zero source
+        # columns + sentinel output columns, ops/pallas/warp._prepare),
+        # so the only structural requirement left is 3 channels
+        if impl == "pallas" and channels == 3:
             from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
                 grid_sample_mxu_fused,
             )
@@ -199,8 +198,8 @@ def inverse_warp_from_matrix(
     ops.resample.grid_sample_mxu), or 'pallas' (the fused Pallas kernel —
     ~14x the gather path; same semantics as 'mxu' but the gradient w.r.t.
     `img` is ZERO, which is fine for the photometric loss where warped
-    sources are data frames). 'pallas' falls back to 'mxu' when the shape
-    doesn't satisfy the kernel's tiling (W multiple of 128, C == 3).
+    sources are data frames). 'pallas' serves any width (the kernel
+    lane-pads internally) and falls back to 'mxu' only for C != 3.
     """
     coords = warp_coords(depth, transform, intrinsics)
     return sample_with_impl(img, coords, impl=impl, padding_mode=padding_mode)

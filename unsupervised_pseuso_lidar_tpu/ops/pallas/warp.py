@@ -341,8 +341,16 @@ def _band_starts_and_taps(
     batch, _, width = y.shape
     y0 = jnp.floor(y).astype(jnp.int32)
     centers = _block_flow_centers(y, height, rows, num_blocks)
-    plane_rows = -(-(height + 2 * band_pad) // 16) * 16
-    max_start = max(plane_rows - band_rows, 0)
+    # planes must be at least one band tall: with small heights the
+    # aligned plane (e.g. 32 rows at H=8, pad=12) can be SHORTER than the
+    # band (48 rows incl. the +16 Mosaic pad), and the kernel's per-plane
+    # dynamic slice would then clamp its start — silently shifting the
+    # c>0 channel bands by the overhang (observed: channel-2 taps off by
+    # 16 rows at H=8, wrong data and gradients)
+    plane_rows = max(
+        -(-(height + 2 * band_pad) // 16) * 16, band_rows
+    )
+    max_start = plane_rows - band_rows
     starts = jnp.clip(
         jnp.arange(num_blocks)[None, :] * rows + centers, 0, max_start
     ).astype(jnp.int32)  # [B, T]
@@ -355,40 +363,63 @@ def _band_starts_and_taps(
     return starts, k0, plane_rows
 
 
-def _column_window_starts(x_t: jax.Array, width: int, wb: int) -> jax.Array:
+def _column_window_starts(
+    x_t: jax.Array, width: int, wb: int, kw: int | None = None
+) -> jax.Array:
     """128-aligned column-window starts per coordinate tile.
 
     x_t: [B, T, NT, 128] unnormalized sample columns. Single source of
     truth shared by the kernel preprocessing (_prepare) and the
     `col_coverage` monitor — the monitor is only truthful if both compute
-    identical windows."""
+    identical windows.
+
+    width is the TRUE image width (tap-validity space); kw the padded
+    kernel lane width the window must fit inside (defaults to width)."""
+    kw = width if kw is None else kw
     valid = (x_t > -1.0) & (x_t < width)
     cnt = jnp.sum(valid, axis=-1)
     mean_x = jnp.sum(jnp.where(valid, x_t, 0.0), axis=-1) / jnp.maximum(cnt, 1)
     c0_raw = (mean_x - (wb - 1) / 2.0) / LANES
-    c0s = jnp.clip(jnp.round(c0_raw).astype(jnp.int32) * LANES, 0, width - wb)
+    c0s = jnp.clip(jnp.round(c0_raw).astype(jnp.int32) * LANES, 0, kw - wb)
     c0s = jnp.where(cnt > 0, c0s, 0).astype(jnp.int32)
     return jax.lax.stop_gradient(c0s)
 
 
 def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
-    """Shared coordinate/band preprocessing. Returns kernel inputs."""
+    """Shared coordinate/band preprocessing. Returns kernel inputs.
+
+    Arbitrary widths are handled by lane-padding: source planes gain
+    zero columns and the output grid gains out-of-image sentinel columns
+    up to the next multiple of 128. Pad taps read zero exactly like
+    out-of-image taps (zeros padding semantics), and _untile crops the
+    output back to the true width — so the fused kernel serves ALL
+    widths (e.g. KITTI-native 1242), not just lane-aligned ones.
+    Coordinate normalization stays in the ORIGINAL width's pixel space
+    (align_corners uses width-1 of the true image)."""
     batch, height, width, channels = img.shape
     rows, pad = rows_per_block, band_pad
-    band_rows = rows + 2 * pad
     assert channels == 3
     out_h = height
+    out_w = width
+    pad_w = (-width) % LANES
+    if pad_w:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, pad_w), (0, 0)))
+        grid = jnp.pad(grid, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
+                       constant_values=-3.0)
+    kw = width + pad_w  # kernel lane width (plane columns, output tiles)
     pad_h = (-out_h) % rows
     if pad_h:
         grid = jnp.pad(grid, ((0, 0), (0, pad_h), (0, 0), (0, 0)),
                        constant_values=-3.0)
     num_blocks = (out_h + pad_h) // rows
-    rw = rows * width
+    rw = rows * kw
     assert rw % LANES == 0, "rows_per_block*width must be a multiple of 128"
     num_tiles = rw // LANES
 
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
+    # normalized coords map to the TRUE image's pixel space; sentinel
+    # columns land far outside [0, width) and read zero in the kernel
     x = (gx + 1.0) * 0.5 * (width - 1)
     y = (gy + 1.0) * 0.5 * (height - 1)
     x0f = jnp.floor(x)
@@ -410,11 +441,11 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     # row-pad for the zero plane; avoids minor-dim strided channel slices,
     # which miscompile under jit on the axon v5e (observed: plane content
     # off by up to 255 vs eager)
-    planes = jnp.moveaxis(img, -1, 1)  # [B, 3, H, W]
+    planes = jnp.moveaxis(img, -1, 1)  # [B, 3, H, KW] (lane-padded)
     planes = jnp.pad(
         planes, ((0, 0), (0, 0), (pad, plane_rows - height - pad), (0, 0))
-    ).reshape(batch, 3 * plane_rows, width)
-    planes = planes.astype(jnp.bfloat16)  # [B, 3*Hp, W]
+    ).reshape(batch, 3 * plane_rows, kw)
+    planes = planes.astype(jnp.bfloat16)  # [B, 3*Hp, KW]
 
     assert num_tiles % 8 == 0, "rows_per_block*width must be a multiple of 1024"
 
@@ -433,10 +464,14 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
     # position — the dominant dot's FLOPs scale with the window, not the
     # image width. Out-of-window taps contribute zero, exactly like
     # out-of-image taps; `col_coverage` monitors the in-window fraction.
-    wb = resolve_col_band(width, col_band)
-    if wb < width:
+    # banding is resolved against the PADDED lane width (so e.g. a true
+    # width of 1242 pads to 1280 and still gets the 384-column window);
+    # the tap-validity mask inside _column_window_starts stays in the
+    # true image's pixel space
+    wb = resolve_col_band(kw, col_band)
+    if wb < kw:
         x_t = to_tiles(x.reshape(batch, num_blocks, rw))
-        c0s = _column_window_starts(x_t, width, wb)    # [B, T, NT]
+        c0s = _column_window_starts(x_t, width, wb, kw)  # [B, T, NT]
         x0_t = x0_t - c0s[..., None]                   # window-relative
     else:
         c0s = jnp.zeros((batch, num_blocks, num_tiles), jnp.int32)
@@ -455,10 +490,10 @@ def _prepare(img, grid, band_pad, rows_per_block, col_band=None):
         r0s = jnp.zeros((batch * num_blocks * num_tiles,), jnp.int32)
 
     shape = dict(
-        batch=batch, height=height, width=width, rows=rows,
+        batch=batch, height=height, width=kw, rows=rows,
         band_rows=band_rows, win_rows=win_rows, plane_rows=plane_rows,
         num_blocks=num_blocks, num_tiles=num_tiles, out_h=out_h,
-        col_band=wb,
+        out_w=out_w, col_band=wb,
     )
     return starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape
 
@@ -493,11 +528,11 @@ def _grid_spec(shape, num_inputs, num_outputs):
 
 
 def _untile(a, shape):
-    # [B, T, NT, 128] -> [B, H, W]
+    # [B, T, NT, 128] -> [B, H, W] (crop row AND lane padding)
     batch = shape["batch"]
     return a.reshape(
         batch, shape["num_blocks"] * shape["rows"], shape["width"]
-    )[:, : shape["out_h"]]
+    )[:, : shape["out_h"], : shape["out_w"]]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -574,10 +609,12 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
     )
     batch, height, width = shape["batch"], shape["height"], shape["width"]
     rows, num_blocks = shape["rows"], shape["num_blocks"]
-    rw = rows * width
+    rw = rows * width  # width is the padded kernel lane width here
     pad_h = num_blocks * rows - shape["out_h"]
+    pad_w = width - shape["out_w"]
     gpad = jnp.pad(
-        g.astype(jnp.float32), ((0, 0), (0, pad_h), (0, 0), (0, 0))
+        g.astype(jnp.float32),
+        ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
     )
 
     def to_tiles(a):
@@ -604,9 +641,11 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, residuals, g):
     )(starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, *douts)
     dx = _untile(dx_t, shape)
     dy = _untile(dy_t, shape)
-    # x = (gx+1)/2*(W-1); y = (gy+1)/2*(H-1)
+    # x = (gx+1)/2*(W-1); y = (gy+1)/2*(H-1) — W is the TRUE image width
+    # (coordinates normalize in the unpadded pixel space)
     d_grid = jnp.stack(
-        [dx * (0.5 * (width - 1)), dy * (0.5 * (height - 1))], axis=-1
+        [dx * (0.5 * (shape["out_w"] - 1)), dy * (0.5 * (height - 1))],
+        axis=-1,
     ).astype(grid.dtype)
     return jnp.zeros_like(img), d_grid
 
@@ -633,10 +672,11 @@ def fused_warp_flops(
     [3*win_rows, wb] x [wb, 128] dot and the backward kernel TWO (the
     mirror x-interp + the d_onehot dot), over ceil(H/rows)*rows padded
     output rows."""
-    wb = resolve_col_band(width, col_band)
+    kw = width + (-width) % LANES  # _prepare lane-pads to the kernel width
+    wb = resolve_col_band(kw, col_band)
     _, win = band_window_rows(rows_per_block, band_pad)
     pad_h = (-height) % rows_per_block
-    pixels = batch * (height + pad_h) * width
+    pixels = batch * (height + pad_h) * kw
     macs = pixels * 3 * win * wb
     return 2 * macs * (2 if backward else 1)
 
@@ -658,23 +698,24 @@ def col_coverage(
     `ops.resample.band_coverage`). Returns 1.0 when both windows are
     disabled for this shape."""
     batch, height, width, _ = grid.shape
-    wb = resolve_col_band(width, col_band)
     rows = rows_per_block
-    if (rows * width) % (LANES * 8) != 0:
-        # the fused kernel can't tile this shape — sample_with_impl falls
-        # back to the mxu band warp, which has no column/row windows (and
-        # the tile reshape below would fail)
-        return jnp.ones(())
+    # mirror _prepare's lane padding: the kernel runs at the padded width
+    pad_w = (-width) % LANES
+    kw = width + pad_w
+    wb = resolve_col_band(kw, col_band)
     band_rows, win_rows = band_window_rows(rows, band_pad)
     row_windowed = win_rows < band_rows
-    if wb >= width and not row_windowed:
+    if wb >= kw and not row_windowed:
         return jnp.ones(())
+    if pad_w:
+        grid = jnp.pad(grid, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
+                       constant_values=-3.0)
     pad_h = (-height) % rows
     if pad_h:
         grid = jnp.pad(grid, ((0, 0), (0, pad_h), (0, 0), (0, 0)),
                        constant_values=-3.0)
     num_blocks = (height + pad_h) // rows
-    rw = rows * width
+    rw = rows * kw
     num_tiles = rw // LANES
 
     def to_tiles(a):
@@ -683,8 +724,9 @@ def col_coverage(
     x = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (width - 1)
     x_t = to_tiles(x)
     x0_abs = jnp.floor(x_t).astype(jnp.int32)
-    if wb < width:
-        c0s = _column_window_starts(x_t, width, wb)  # the kernel's windows
+    if wb < kw:
+        # the kernel's exact windows (true-width validity, padded clamp)
+        c0s = _column_window_starts(x_t, width, wb, kw)
         x0 = x0_abs - c0s[..., None]
         # per tap: must be inside the window unless it is out of the IMAGE
         # (out-of-image taps contribute zero in the full-width kernel too)
@@ -727,8 +769,8 @@ def col_coverage(
     covered = jnp.zeros((), jnp.float32)
     total = jnp.zeros((), jnp.float32)
     real = jnp.zeros(x_t.shape, bool)
-    real = real.reshape(batch, num_blocks * rows, width)
-    real = real.at[:, :height].set(True).reshape(x_t.shape)
+    real = real.reshape(batch, num_blocks * rows, kw)
+    real = real.at[:, :height, :width].set(True).reshape(x_t.shape)
     for dx in range(2):
         for dy in range(2):
             valid = xvalid[dx] & x_in_image & yvalid[dy] & real
