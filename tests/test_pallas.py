@@ -452,6 +452,22 @@ class TestAnyWidthPadding:
             np.asarray(g_fus), np.asarray(g_ref), atol=0.05 * scale
         )
 
+    def test_odd_height_and_width_together(self):
+        # row padding (H % rows != 0) and lane padding (W % 128 != 0)
+        # compose; H=30 also exercises the small-height plane sizing
+        # (plane must be >= one band — the clamp bug regression guard)
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
+            grid_sample_mxu_fused,
+        )
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
+        img, grid = self._case(250, height=30)
+        got = grid_sample_mxu_fused(img, grid, 12, 8, True)
+        assert got.shape == (1, 30, 250, 3)
+        ref = grid_sample(img, grid, align_corners=True,
+                          padding_mode="zeros")
+        assert float(jnp.max(jnp.abs(got - ref))) < 1.5
+
     def test_col_coverage_engages_at_1242(self):
         # padded to 1280 -> the 384-column window applies; a tiny local
         # flow keeps every tap inside it
