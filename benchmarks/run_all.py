@@ -446,6 +446,17 @@ def main():
     report["bts_inference_352x1216_ms"] = round(dt * 1e3, 3)
     report["bts_inference_fps"] = round(1.0 / dt, 2)
 
+    # 6b. multi-camera serving: 4 streams batched into one BTS forward
+    # (the deployment shape for a surround rig; amortizes launch latency
+    # and fills the MXU better than 4 sequential b1 calls)
+    bts_img4 = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (4, 352, 1216, 3)),
+        dtype=jnp.float32,
+    )
+    dt = timeit(lambda: bts_infer(bts_vars, bts_img4), max(args.steps // 5, 5))
+    report["bts_inference_b4_ms"] = round(dt * 1e3, 3)
+    report["bts_inference_b4_fps_per_stream"] = round(4.0 / dt, 2)
+
     # 7. REAL-image learning evidence: depth-only fit on the dinosaur
     # turntable (36 calibrated photographs — the reference's toy-problem
     # data, notes/toy_problem/). Skipped cleanly when the data or scipy
