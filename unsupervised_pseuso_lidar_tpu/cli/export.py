@@ -1,0 +1,166 @@
+"""Export a trained depth model (optionally fused with the pseudo-LiDAR
+projector) as a portable StableHLO serving artifact.
+
+The reference has no export story — serving means unpickling a torch
+checkpoint inside the framework (/root/reference/pseudo-lidar/
+DepthPipeline.py:122-127). This entry point produces a self-contained
+`jax.export` artifact (weights baked in) that any JAX/PjRt runtime can
+execute on TPU or CPU without the model code or checkpoint format.
+
+Usage:
+  python -m unsupervised_pseuso_lidar_tpu.cli.export \
+      --config configs/basic_config.yaml --out artifacts/depth.stablehlo \
+      [--checkpoint pretrained/model | --torch-checkpoint sfm.pth] \
+      [--batch 4 | --batch-poly] [--calib KITTI/2011_09_26] [--verify]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Export depth (+ pseudo-LiDAR) serving artifact"
+    )
+    parser.add_argument("--config", default="configs/basic_config.yaml")
+    parser.add_argument("--out", required=True, help="artifact output path")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax checkpoint dir (default: config path)")
+    parser.add_argument("--torch-checkpoint", default=None,
+                        help="reference .pth checkpoint to import")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="concrete batch size (ignored with --batch-poly)")
+    parser.add_argument("--batch-poly", action="store_true",
+                        help="batch-polymorphic artifact (symbolic leading dim)")
+    parser.add_argument("--height", type=int, default=0,
+                        help="override config image height")
+    parser.add_argument("--width", type=int, default=0,
+                        help="override config image width")
+    parser.add_argument("--platforms", default="tpu,cpu",
+                        help="comma-separated lowering platforms")
+    parser.add_argument("--calib", default=None,
+                        help="KITTI calib dir: fuse depth -> point cloud "
+                        "into one program")
+    parser.add_argument("--sparsity", type=int, default=0)
+    parser.add_argument("--verify", action="store_true",
+                        help="reload the artifact and check it matches the "
+                        "live model on a random input (current backend)")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsupervised_pseuso_lidar_tpu.pseudolidar.export import (
+        batch_poly_spec,
+        concrete_spec,
+        export_program,
+        make_depth_cloud_fn,
+        make_depth_fn,
+        run_exported,
+    )
+    from unsupervised_pseuso_lidar_tpu.train.config import load_config
+    from unsupervised_pseuso_lidar_tpu.train.trainer import create_train_state
+
+    config = load_config(args.config)
+    state, depth_model, _, _ = create_train_state(
+        config, jax.random.PRNGKey(config.action.random_seed)
+    )
+    params, batch_stats = state.params, state.batch_stats
+
+    if args.torch_checkpoint:
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            import_torch_state,
+            load_pretrained_depth,
+            load_torch_checkpoint,
+        )
+
+        if config.model.depth.name == "DispResNet":
+            depth_params, depth_stats = load_pretrained_depth(
+                params["depth"], batch_stats["depth"], args.torch_checkpoint
+            )
+        else:
+            ckpt = load_torch_checkpoint(args.torch_checkpoint)
+            state_dict = ckpt.get("dpth_mdl_state_dict", ckpt)
+            depth_params, depth_stats = import_torch_state(
+                params["depth"], batch_stats["depth"],
+                state_dict, config.model.depth.name,
+            )
+        params = dict(params, depth=depth_params)
+        batch_stats = dict(batch_stats, depth=depth_stats)
+    elif args.checkpoint or not config.action.from_scratch:
+        import os
+
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            CheckpointManager,
+        )
+
+        path = args.checkpoint or os.path.join(
+            config.action.checkpoint_dir, config.model.name
+        )
+        restored = CheckpointManager(path).restore(state)
+        if restored is not None:
+            state = restored[0]
+            params, batch_stats = state.params, state.batch_stats
+
+    height, width = config.image_shape
+    height = args.height or height
+    width = args.width or width
+
+    depth_vars = {
+        "params": params["depth"], "batch_stats": batch_stats["depth"]
+    }
+    fn = make_depth_fn(
+        depth_model, depth_vars,
+        metric_output=(config.model.depth.name == "BtsModel"),
+    )
+    if args.calib:
+        from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+            PseudoLiDAR,
+        )
+
+        fn = make_depth_cloud_fn(
+            fn, PseudoLiDAR(args.calib, sparsity=args.sparsity)
+        )
+
+    example = jnp.zeros((max(args.batch, 1), height, width, 3), jnp.float32)
+    spec = batch_poly_spec(example) if args.batch_poly else concrete_spec(example)
+    exported = export_program(
+        fn, [spec], args.out,
+        platforms=[p.strip() for p in args.platforms.split(",") if p.strip()],
+        metadata={
+            "model": config.model.depth.name,
+            "image_height": height,
+            "image_width": width,
+            "fused_pointcloud": bool(args.calib),
+            "weights": (args.torch_checkpoint or args.checkpoint
+                        or "init (untrained)"),
+        },
+    )
+    print(
+        f"wrote {args.out} ({len(exported.serialize())} bytes, "
+        f"platforms={list(exported.platforms)}, "
+        f"inputs={[str(a.shape) for a in exported.in_avals]})"
+    )
+
+    if args.verify:
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(
+            rng.uniform(-1, 1, (max(args.batch, 1), height, width, 3)),
+            jnp.float32,
+        )
+        got = run_exported(args.out, img)
+        want = jax.jit(fn)(img)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            ),
+            got, want,
+        )
+        print("verify OK: artifact matches the live model")
+    return exported
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,9 @@
+from unsupervised_pseuso_lidar_tpu.pseudolidar.export import (
+    export_program,
+    load_exported,
+    make_depth_cloud_fn,
+    make_depth_fn,
+)
 from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
     PseudoLiDAR,
     depth_to_pointcloud,
@@ -10,6 +16,10 @@ from unsupervised_pseuso_lidar_tpu.pseudolidar.velo2img import (
 __all__ = [
     "PseudoLiDAR",
     "depth_to_pointcloud",
+    "export_program",
+    "load_exported",
+    "make_depth_cloud_fn",
+    "make_depth_fn",
     "project_velo_to_depth_image",
     "project_img_to_velo",
 ]

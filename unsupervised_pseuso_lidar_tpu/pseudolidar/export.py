@@ -1,0 +1,210 @@
+"""Serving export: serialize jitted inference programs to portable
+StableHLO artifacts (`jax.export`) for production deployment.
+
+Capability this adds over the reference: the reference deploys by
+unpickling `torch.save` checkpoints inside a live Python/torch process
+(/root/reference/pseudo-lidar/DepthPipeline.py:122-127,
+/root/reference/inference.py:10-12) — the serving host must carry the
+full training framework and model source. A `jax.export` artifact is a
+self-contained, versioned StableHLO program (weights baked in as
+constants) that any JAX runtime — or the C++ PjRt runtime, via XLA's
+stablehlo deserialization — can execute on TPU or CPU without the model
+code, the checkpoint format, or Python class definitions.
+
+Design notes (TPU-first):
+- Platform list defaults to ("tpu", "cpu"): one artifact serves both the
+  deployment target and local smoke testing. The exported module carries
+  per-platform lowering only where they differ.
+- Batch-polymorphic export uses `jax.export.symbolic_shape("b")` on the
+  leading axis, so one artifact serves any batch size (multi-camera rigs
+  batch 4-8 frames per step; see benchmarks row 6b) with no retrace at
+  the Python layer — XLA still specializes per concrete shape at runtime.
+- Weights are baked into the program as constants: the artifact is the
+  single deployable file. (For tunneled dev devices where baked
+  constants transfer slowly, keep using the checkpoint + apply path;
+  this artifact targets real deployments.)
+
+Artifact layout: `<path>` holds the serialized `jax.export.Exported`
+bytes; `<path>.json` is a human-readable sidecar (shapes, dtypes,
+platforms, jax version, user metadata) written for fleet tooling that
+wants to inventory artifacts without deserializing them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax import export as jax_export
+
+DEFAULT_PLATFORMS = ("tpu", "cpu")
+
+
+def batch_poly_spec(example: Any, dim_name: str = "b") -> Any:
+    """Replace the leading axis of every array leaf with one shared
+    symbolic dimension, producing specs for batch-polymorphic export.
+
+    All leaves must share the same leading (batch) extent; scalars and
+    0-d leaves are passed through unchanged.
+    """
+    scope = jax_export.SymbolicScope()
+    (sym,) = jax_export.symbolic_shape(dim_name, scope=scope)
+
+    def to_spec(leaf):
+        arr = jnp.asarray(leaf)
+        if arr.ndim == 0:
+            return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+        return jax.ShapeDtypeStruct((sym,) + arr.shape[1:], arr.dtype)
+
+    return jax.tree_util.tree_map(to_spec, example)
+
+
+def concrete_spec(example: Any) -> Any:
+    """ShapeDtypeStruct pytree mirroring concrete example arguments."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.ShapeDtypeStruct(
+            jnp.asarray(leaf).shape, jnp.asarray(leaf).dtype
+        ),
+        example,
+    )
+
+
+def export_program(
+    fn: Callable,
+    specs: Sequence[Any],
+    path: str,
+    *,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    metadata: Optional[Dict[str, Any]] = None,
+) -> jax_export.Exported:
+    """Lower + serialize `fn(*specs)` to `path` (+ `.json` sidecar).
+
+    Args:
+      fn: a traceable function (weights closed over become baked
+        constants; see module docstring).
+      specs: pytrees of `jax.ShapeDtypeStruct` (see `concrete_spec` /
+        `batch_poly_spec`) — one per positional argument.
+      path: output file for the serialized bytes.
+      platforms: lowering platforms the artifact must run on.
+      metadata: extra JSON-serializable fields for the sidecar.
+    Returns:
+      the `jax.export.Exported` (already written to disk).
+    """
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*specs)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    def describe(avals):
+        return [
+            {"shape": [str(d) for d in a.shape], "dtype": str(a.dtype)}
+            for a in avals
+        ]
+
+    sidecar = {
+        "format": "jax.export.Exported",
+        "calling_convention_version": exported.calling_convention_version,
+        "platforms": list(exported.platforms),
+        "jax_version": jax.__version__,
+        "inputs": describe(exported.in_avals),
+        "outputs": describe(exported.out_avals),
+        "size_bytes": len(blob),
+        **(metadata or {}),
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(sidecar, f, indent=2)
+    return exported
+
+
+def load_exported(path: str) -> jax_export.Exported:
+    """Deserialize an artifact written by `export_program`.
+
+    The result's `.call(*args)` runs the program (jittable, and
+    composable into larger jitted programs).
+    """
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
+def make_depth_fn(
+    depth_model,
+    variables: Dict[str, Any],
+    *,
+    metric_output: bool = False,
+    min_depth: Optional[float] = None,
+    max_depth: Optional[float] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """[B, H, W, 3] normalized image -> [B, H, W] metric depth, with the
+    model weights closed over (they bake into the exported artifact).
+
+    Mirrors the inference/pipeline entries (cli/inference.py,
+    cli/pipeline.py): finest-scale disparity -> depth via the reference's
+    sigma mapping (/root/reference/geometry/pose_geometry.py:81-82), the
+    monodepth2 ranged mapping when min_depth/max_depth are given, or —
+    for BTS, whose head already emits metric depth
+    (/root/reference/pseudo-lidar/utils/model.py:263-272) — the final
+    output taken as-is (`metric_output=True`).
+    """
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+        disp_to_depth,
+        disp_to_depth_ranged,
+    )
+
+    frozen = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    def depth_fn(img: jax.Array) -> jax.Array:
+        outputs = depth_model.apply(frozen, img, train=False)
+        if metric_output:
+            out = outputs[-1] if isinstance(outputs, (list, tuple)) else outputs
+            return out[..., 0]
+        disp = (outputs[0] if isinstance(outputs, (list, tuple)) else outputs)[..., 0]
+        if min_depth is not None:
+            return disp_to_depth_ranged(
+                disp, min_depth=min_depth, max_depth=max_depth or 100.0
+            )[1]
+        return disp_to_depth(disp)
+
+    return depth_fn
+
+
+def make_depth_cloud_fn(
+    depth_fn: Callable[[jax.Array], jax.Array],
+    projector,
+) -> Callable[[jax.Array], Tuple[jax.Array, jax.Array, jax.Array]]:
+    """Fuse depth inference + pseudo-LiDAR backprojection into ONE
+    program: [B, H, W, 3] image -> (depth [B, H, W], points [B, H*W, 4],
+    valid [B, H*W]). This is the deployment shape of the reference's
+    two-process ROS chain (DepthPipeline -> PseudoLidarPipeline) as a
+    single device program — no host round-trip between depth and cloud.
+    """
+    from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+        depth_to_pointcloud,
+    )
+
+    proj = jnp.asarray(projector.proj)
+    velo_to_cam = jnp.asarray(projector.velo_to_cam)
+    sparsity = projector.sparsity
+    max_high = projector.max_high
+
+    def fused(img: jax.Array):
+        depth = depth_fn(img)
+        points, valid = depth_to_pointcloud(
+            depth.astype(jnp.float32), proj, velo_to_cam,
+            sparsity=sparsity, max_high=max_high,
+        )
+        return depth, points, valid
+
+    return fused
+
+
+def run_exported(path: str, *args) -> Any:
+    """Convenience: load an artifact and execute it on the default
+    backend (useful for smoke-testing a freshly written artifact)."""
+    exported = load_exported(path)
+    return jax.jit(exported.call)(*[jnp.asarray(a) for a in args])
