@@ -143,6 +143,34 @@ def test_splits_cli(mini_kitti, tmp_path):  # noqa: F811
     assert lines2 and all(len(line.split()) == 3 for line in lines2)
 
 
+def test_pipeline_cli_multi_camera(mini_kitti, tmp_path, capsys):  # noqa: F811
+    """camera->depth->cloud CLI over a 2-camera rig: one fused batch-2
+    program per rig step, per-camera cloud files, rig-step JSON stats."""
+    from unsupervised_pseuso_lidar_tpu.cli.pipeline import main
+
+    img_dir = os.path.join(mini_kitti["kitti"], DATE, DRIVE, "image_02", "data")
+    calib = os.path.join(mini_kitti["kitti"], DATE)
+    save = tmp_path / "clouds"
+    main([
+        "--images", img_dir, img_dir,
+        "--calib", calib,
+        "--model", "StnDispNet",
+        "--height", "32", "--width", "32",
+        "--max-frames", "2",
+        "--queue-size", "8",
+        "--save-dir", str(save),
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["frames"] == 2 and stats["streams"] == 2
+    files = sorted(os.listdir(save))
+    assert files == [
+        "cloud_cam0_000000.npy", "cloud_cam0_000001.npy",
+        "cloud_cam1_000000.npy", "cloud_cam1_000001.npy",
+    ]
+    cloud = np.load(save / files[0])
+    assert cloud.ndim == 2 and cloud.shape[1] == 4
+
+
 def test_bench_entry_smoke(capsys):
     """bench.py (the driver's round-end entry) prints one valid JSON row.
 

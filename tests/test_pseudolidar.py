@@ -233,6 +233,71 @@ class TestStreamingPipeline:
         assert results[0].points.shape[1] == 4
         assert results[0].points.shape[0] > 0
 
+    def test_multi_camera_rig(self, tmp_path):
+        # 3 synchronized cameras, 2 rig steps: each step runs ONE fused
+        # batch-3 program and emits one result per stream; clouds must
+        # match the single-stream path on the same frames
+        from PIL import Image
+
+        from unsupervised_pseuso_lidar_tpu.pseudolidar.pipeline import (
+            DepthToPointCloudPipeline,
+            FileImageSource,
+        )
+
+        rng = np.random.default_rng(1)
+        cam_dirs = []
+        for cam in range(3):
+            d = tmp_path / f"cam{cam}"
+            d.mkdir()
+            for i in range(2):
+                Image.fromarray(
+                    rng.uniform(0, 255, (16, 32, 3)).astype(np.uint8)
+                ).save(d / f"{i:06d}.png")
+            cam_dirs.append(str(d))
+
+        calib = tmp_path / "calib"
+        calib.mkdir()
+        (calib / "calib_cam_to_cam.txt").write_text(
+            "K_02: 100 0 16 0 100 8 0 0 1\n"
+            "P_rect_02: 100 0 16 0 0 100 8 0 0 0 1 0\n"
+            "R_rect_02: 1 0 0 0 1 0 0 0 1\n"
+        )
+        (calib / "calib_velo_to_cam.txt").write_text(
+            "R: 0 -1 0 0 0 -1 1 0 0\nT: 0 0 0\n"
+        )
+        (calib / "calib_imu_to_velo.txt").write_text(
+            "R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n"
+        )
+
+        def fake_depth_fn(img):
+            # depth varies with image content so streams differ
+            return 10.0 + 5.0 * jnp.mean(img, axis=(1, 2, 3))[:, None, None] \
+                * jnp.ones(img.shape[:3])
+
+        pipeline = DepthToPointCloudPipeline(
+            fake_depth_fn, PseudoLiDAR(str(calib))
+        )
+        results = []
+        steps = pipeline.run_multi(
+            [iter(FileImageSource(d, size_hw=(16, 32))) for d in cam_dirs],
+            results.append,
+            queue_size=8,
+        )
+        assert steps == 2
+        assert len(results) == 6
+        assert sorted({r.stream_index for r in results}) == [0, 1, 2]
+        assert {r.frame_index for r in results} == {0, 1}
+        # per-stream results equal the b1 path on the same frame
+        from unsupervised_pseuso_lidar_tpu.utils.transforms import load_image
+
+        frame00, _, _ = load_image(
+            os.path.join(cam_dirs[1], "000000.png"), (16, 32)
+        )
+        single = pipeline.process(frame00, 0)
+        multi = [r for r in results if r.stream_index == 1 and r.frame_index == 0][0]
+        np.testing.assert_allclose(single.depth, multi.depth, rtol=1e-6)
+        np.testing.assert_allclose(single.points, multi.points, rtol=1e-6)
+
 
 class TestVeloGT:
     def test_depth_gt_from_velo(self, tmp_path):

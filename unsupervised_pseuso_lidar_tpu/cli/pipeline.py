@@ -23,7 +23,10 @@ import time
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="camera -> depth -> pseudo-LiDAR")
-    parser.add_argument("--images", required=True, help="directory of PNG frames")
+    parser.add_argument("--images", required=True, nargs="+",
+                        help="directory of PNG frames; pass several "
+                        "directories for a multi-camera rig (each step "
+                        "batches all cameras into one device program)")
     parser.add_argument("--calib", required=True, help="KITTI calib directory")
     parser.add_argument("--model", default="DispResNet",
                         choices=["DispResNet", "DispNetS", "StnDispNet", "BtsModel"])
@@ -33,6 +36,10 @@ def main(argv=None):
                         help="replay rate in Hz (0 = as fast as possible; the "
                         "reference pipeline runs at 10)")
     parser.add_argument("--sparsity", type=int, default=0)
+    parser.add_argument("--queue-size", type=int, default=1,
+                        help="input queue depth; 1 = the reference ROS "
+                        "nodes' latest-wins semantics (stale frames are "
+                        "dropped under load), larger for lossless replay")
     parser.add_argument("--save-dir", default=None,
                         help="save per-frame cloud .npy files here")
     parser.add_argument("--max-frames", type=int, default=0)
@@ -76,30 +83,44 @@ def main(argv=None):
     stats = {"frames": 0, "points_total": 0}
     t0 = time.perf_counter()
 
+    multi = len(args.images) > 1
+
     def on_result(result):
         stats["frames"] += 1
         stats["points_total"] += result.points.shape[0]
         if args.save_dir:
-            np.save(
-                os.path.join(args.save_dir, f"cloud_{result.frame_index:06d}.npy"),
-                result.points,
+            name = (
+                f"cloud_cam{result.stream_index}_{result.frame_index:06d}.npy"
+                if multi else f"cloud_{result.frame_index:06d}.npy"
             )
+            np.save(os.path.join(args.save_dir, name), result.points)
 
-    source = FileImageSource(
-        args.images, rate_hz=args.rate or None, size_hw=(args.height, args.width)
-    )
-    frames = iter(source)
-    if args.max_frames:
-        import itertools
+    def frames_for(image_dir):
+        source = FileImageSource(
+            image_dir, rate_hz=args.rate or None,
+            size_hw=(args.height, args.width),
+        )
+        frames = iter(source)
+        if args.max_frames:
+            import itertools
 
-        frames = itertools.islice(frames, args.max_frames)
+            frames = itertools.islice(frames, args.max_frames)
+        return frames
 
-    processed = pipeline.run(frames, on_result, queue_size=1)
+    if multi:
+        processed = pipeline.run_multi(
+            [frames_for(d) for d in args.images], on_result,
+            queue_size=args.queue_size,
+        )
+    else:
+        processed = pipeline.run(frames_for(args.images[0]), on_result,
+                                 queue_size=args.queue_size)
     dt = time.perf_counter() - t0
     print(
         json.dumps(
             {
                 "frames": processed,
+                "streams": len(args.images),
                 "seconds": round(dt, 3),
                 "hz": round(processed / dt, 2) if dt else None,
                 "avg_points_per_cloud": (

@@ -71,6 +71,7 @@ class PipelineResult:
     frame_index: int
     depth: np.ndarray          # [H, W] meters
     points: np.ndarray         # [N, 4] velodyne-frame pseudo-LiDAR cloud
+    stream_index: int = 0      # camera index on a multi-camera rig
 
 
 class DepthToPointCloudPipeline:
@@ -102,6 +103,24 @@ class DepthToPointCloudPipeline:
         depth = np.asarray(depth[0])
         cloud = np.asarray(points[0])[np.asarray(valid[0])]
         return PipelineResult(frame_index, depth, cloud)
+
+    def process_batch(self, imgs: np.ndarray, frame_index: int = 0):
+        """Multi-camera step: [S, H, W, 3] synchronized frames (one per
+        stream) -> one fused device program -> per-stream results.
+
+        Batching the rig's cameras into a single forward amortizes launch
+        latency and fills the MXU far better than S sequential b1 calls
+        (benchmarks row 6b: per-stream BTS latency at batch 4 vs 1).
+        """
+        depth, points, valid = self._fused(self._depth_args, jnp.asarray(imgs))
+        depth = np.asarray(depth)
+        points = np.asarray(points)
+        valid = np.asarray(valid)
+        return [
+            PipelineResult(frame_index, depth[s], points[s][valid[s]],
+                           stream_index=s)
+            for s in range(depth.shape[0])
+        ]
 
     def run(
         self,
@@ -136,4 +155,45 @@ class DepthToPointCloudPipeline:
                 return processed
             index, frame = item
             on_result(self.process(frame, index))
+            processed += 1
+
+    def run_multi(
+        self,
+        sources,
+        on_result: Callable[[PipelineResult], None],
+        queue_size: int = 1,
+    ) -> int:
+        """Stream a multi-camera rig: N sources in lockstep (synchronized
+        capture), each rig step batched into ONE device program. Latest-
+        wins queue semantics as in run(); `on_result` fires once per
+        stream per step (PipelineResult.stream_index identifies the
+        camera). Returns rig steps processed; stops at the shortest
+        source (a rig frame needs all cameras)."""
+        q: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        sentinel = object()
+
+        def feed():
+            for i, frames in enumerate(zip(*sources)):
+                item = (i, np.stack(frames))
+                try:
+                    q.put_nowait(item)
+                except queue.Full:
+                    try:  # drop the stale rig frame, keep the fresh one
+                        q.get_nowait()
+                    except queue.Empty:
+                        pass
+                    q.put(item)
+            q.put(sentinel)
+
+        thread = threading.Thread(target=feed, daemon=True)
+        thread.start()
+
+        processed = 0
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return processed
+            index, frames = item
+            for result in self.process_batch(frames, index):
+                on_result(result)
             processed += 1
