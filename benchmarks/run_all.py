@@ -424,6 +424,62 @@ def main():
     report[f"{tag}_pose_ate_init"] = round(float(ate_init["ate"]), 5)
     report[f"{tag}_pose_ate"] = round(float(ate_trained["ate"]), 5)
 
+    # 5e. occlusion robustness: the monodepth2-family objective (per-pixel
+    # min over refs + automask, the reference's latent losses.py:156-167
+    # path) vs the active 'mean' objective, trained on slanted scenes with
+    # a STATIC foreground occluder (closed-form geometry; the per-pixel
+    # min exists exactly to ignore the view where the background is
+    # occluded). Same init, same data, same budget — only the objective
+    # differs; tests/test_occlusion.py proves the loss-level mechanism,
+    # this row shows it surviving end-to-end training on device.
+    occ_batches = [
+        {
+            k: jnp.asarray(v)
+            for k, v in synthetic_triplet_batch(
+                8, height, width, seed=s, slant_deg=10.0, occluder="static"
+            ).items()
+            if k not in ("groundtruth", "occ_mask")
+        }
+        for s in range(10)
+    ]
+    occ_eval = synthetic_triplet_batch(
+        8, height, width, seed=99, slant_deg=10.0, occluder="static"
+    )
+    occ_gt = jnp.asarray(occ_eval["groundtruth"])
+    occ_steps = 600
+    for mode in ("mean", "min"):
+        occ_step = make_train_step(
+            depth16, pose16, tx16, donate=False, warp_impl="pallas",
+            smooth_on="disp", smooth_weight=1e-3, loss_mode=mode,
+        )
+        s_occ = state16
+        for i in range(occ_steps):
+            s_occ, m_occ = occ_step(s_occ, occ_batches[i % 10])
+        hard_sync((s_occ, m_occ))
+        pred = eval_depth(
+            s_occ.params, s_occ.batch_stats, jnp.asarray(occ_eval["tgt"])
+        )
+        errs = compute_errors(occ_gt, pred, median_scale=True)
+        # patch-region metrics: scale by the FULL-image median ratio (the
+        # patch is constant-depth, so a patch-local median would cancel
+        # any constant prediction), then evaluate only the patch pixels
+        ratio = jnp.nanmedian(
+            jnp.where(
+                (occ_gt > 1e-3) & (occ_gt < 80.0), occ_gt / pred, jnp.nan
+            ),
+            axis=(1, 2),
+        )
+        patch_errs = compute_errors(
+            occ_gt, pred * ratio[:, None, None],
+            mask=jnp.asarray(occ_eval["occ_mask"]),
+        )
+        report[f"occlusion_{occ_steps}step_{mode}_abs_rel"] = round(
+            float(errs["abs_rel"]), 4
+        )
+        report[f"occlusion_{occ_steps}step_{mode}_patch_abs_rel"] = round(
+            float(patch_errs["abs_rel"]), 4
+        )
+
     # 6. BTS serving model: single-frame depth at the ROS pipeline's input
     # size (352x1216, pseudo-lidar/DepthPipeline.py:43-49); reference target
     # rate is 10 Hz per node (DepthPipeline.py:93).

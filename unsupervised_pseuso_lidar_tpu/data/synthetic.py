@@ -40,6 +40,8 @@ def synthetic_triplet_batch(
     tx: float = 0.3,
     focal: float = 100.0,
     slant_deg: float = 0.0,
+    occluder: str | None = None,
+    occ_depth: float = 5.0,
 ) -> Dict[str, np.ndarray]:
     """One batch of (tgt, refs, intrinsics, oxts, groundtruth).
 
@@ -52,6 +54,23 @@ def synthetic_triplet_batch(
     ground-truth depth VARIES across the image — tests and benchmarks
     that median-scale their metrics need this, since on a constant-depth
     scene any constant prediction median-scales to a perfect score.
+
+    `occluder` composites a textured square patch at `occ_depth` (nearer
+    than the background) over the scene, producing the two pathologies
+    the monodepth2-family objective exists for (the reference scaffolds
+    but never activates it, /root/reference/losses.py:156-167):
+
+      * "static": the patch is a fixed world-space object — it parallax-
+        shifts between views, so background pixels next to it are
+        occluded in one reference view and visible in the other
+        (per-pixel MIN over refs should pick the visible one);
+      * "camera_locked": the patch sits at the SAME pixels in all three
+        views (an object moving exactly with the camera) — no geometry
+        explains it, and its identity (unwarped) error is zero, the
+        precise case binary automasking removes.
+
+    With an occluder the returned dict gains "occ_mask" [B, H, W]: True
+    where the target view shows the patch.
     """
     rng = np.random.default_rng(seed)
     cx, cy = width / 2.0, height / 2.0
@@ -85,6 +104,34 @@ def synthetic_triplet_batch(
     (tu, tv), (r0u, r0v), (r1u, r1v) = (
         surface_coords(0.0), surface_coords(-tx), surface_coords(tx)
     )
+
+    occ_inside = occ_tex = None
+    if occluder is not None:
+        if occluder not in ("static", "camera_locked"):
+            raise ValueError(f"Unknown occluder kind: {occluder!r}")
+        # patch box in world coords on the z = occ_depth plane, sized to
+        # cover the central ~quarter of the target view
+        u0, u1 = width * 0.40, width * 0.60
+        v0, v1 = height * 0.35, height * 0.65
+        x0, x1 = (u0 - cx) * occ_depth / focal, (u1 - cx) * occ_depth / focal
+        y0, y1 = (v0 - cy) * occ_depth / focal, (v1 - cy) * occ_depth / focal
+
+        def patch_view(cam_tx: float):
+            """(inside mask, texture coords) of the patch seen from the
+            camera at (cam_tx, 0, 0); camera_locked objects travel with
+            the camera, so every view sees the tgt-view projection."""
+            if occluder == "camera_locked":
+                cam_tx = 0.0
+            px = cam_tx + occ_depth * dx  # ray ^ z=occ_depth plane
+            py = occ_depth * dy
+            inside = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            return inside, (px * focal / occ_depth + cx,
+                            py * focal / occ_depth + cy)
+
+        occ_views = [patch_view(0.0), patch_view(-tx), patch_view(tx)]
+        occ_inside = [v[0] for v in occ_views]
+        occ_tex = [v[1] for v in occ_views]
+
     for b in range(batch_size):
         phases = np.stack(
             [
@@ -98,6 +145,22 @@ def synthetic_triplet_batch(
         tgt[b] = _texture(tu, tv, phases)
         refs[b, 0] = _texture(r0u, r0v, phases)  # camera at -tx
         refs[b, 1] = _texture(r1u, r1v, phases)  # camera at +tx
+        if occluder is not None:
+            # higher-frequency independent texture so the patch contrasts
+            # with whatever background it covers
+            occ_phases = np.stack(
+                [
+                    rng.uniform(0.35, 0.9, 6),
+                    rng.uniform(0.35, 0.9, 6),
+                    rng.uniform(0, 2 * np.pi, 6),
+                    rng.uniform(0, 2 * np.pi, 6),
+                ],
+                axis=-1,
+            )
+            for img, inside, (pu, pv) in zip(
+                (tgt[b], refs[b, 0], refs[b, 1]), occ_inside, occ_tex
+            ):
+                img[inside] = _texture(pu, pv, occ_phases)[inside]
 
     k = np.array(
         [[focal, 0, cx], [0, focal, cy], [0, 0, 1]],
@@ -117,13 +180,19 @@ def synthetic_triplet_batch(
         (depth / denom).astype(np.float32), (batch_size, height, width)
     ).copy()
 
-    return {
+    out = {
         "tgt": tgt,
         "ref_imgs": refs,
         "intrinsics": intrinsics,
         "oxts": oxts,
         "groundtruth": groundtruth,
     }
+    if occluder is not None:
+        groundtruth[:, occ_inside[0]] = occ_depth
+        out["occ_mask"] = np.broadcast_to(
+            occ_inside[0], (batch_size, height, width)
+        ).copy()
+    return out
 
 
 class SyntheticTripletDataset:
