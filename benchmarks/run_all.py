@@ -189,6 +189,21 @@ def main():
     report["train_step_b12_bf16_ms"] = round(dt * 1e3, 3)
     report["train_step_b12_bf16_fps"] = round(12.0 / dt, 2)
 
+    # 4b2. batch-32 bf16 step: the scaling-headroom row. The step is
+    # conv-dominated at 25-40% conv MXU efficiency (docs/PERFORMANCE.md);
+    # larger batches amortize per-op overheads and tile the MXU better,
+    # so fps/chip should RISE with batch — this row quantifies how much
+    # headroom the deployment config (b12) leaves on the table.
+    batch32 = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_triplet_batch(32, height, width, seed=0).items()
+        if k != "groundtruth"
+    }
+    dt = timeit(lambda: step16(state16, batch32), args.steps)
+    report["train_step_b32_bf16_ms"] = round(dt * 1e3, 3)
+    report["train_step_b32_bf16_fps"] = round(32.0 / dt, 2)
+    del batch32
+
     # 4c. the SAME bf16 step under a device mesh (1 chip here; the data
     # axis simply has size 1). This is the multi-chip calling convention —
     # batch sharded over "data", params replicated, Pallas warp running
