@@ -72,6 +72,21 @@ def test_train_then_evaluate_then_inference(cli_config, mini_kitti, tmp_path, ca
     assert depth.shape == (32, 32)
     assert os.path.exists(out)
 
+    # the TRAINED checkpoint ships as a serving artifact: export restores
+    # the epoch-0 orbax state and --verify reloads the artifact and
+    # checks it against the live model — closing the train -> serve loop
+    from unsupervised_pseuso_lidar_tpu.cli import export as export_cli
+
+    artifact = str(tmp_path / "depth.stablehlo")
+    exported = export_cli.main([
+        "--config", cli_config, "--out", artifact,
+        "--checkpoint", str(tmp_path / "ckpt" / "cli_test"),
+        "--height", "32", "--width", "32",
+        "--platforms", "cpu", "--verify",
+    ])
+    assert os.path.exists(artifact)
+    assert [str(a.shape) for a in exported.in_avals] == ["(1, 32, 32, 3)"]
+
 
 def test_odometry_cli(cli_config, mini_kitti, tmp_path):  # noqa: F811
     from unsupervised_pseuso_lidar_tpu.cli import odometry as odo_cli

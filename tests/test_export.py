@@ -167,6 +167,30 @@ class TestFusedDepthCloud:
         assert valid.shape == (3, 64 * 96)
 
 
+@pytest.mark.slow
+class TestBtsExport:
+    def test_bts_metric_output_roundtrip(self, tmp_path):
+        # the SERVING model: BTS emits metric depth directly (reference
+        # model.py:263-272), so the artifact must carry metric_output
+        # semantics (no disparity mapping) — and its ~47M DenseNet-161
+        # params as baked constants
+        import jax
+
+        model = build_model("BtsModel")
+        img = _img(1)
+        variables = model.init(jax.random.PRNGKey(0), img, train=False)
+        fn = make_depth_fn(model, variables, metric_output=True)
+        path = str(tmp_path / "bts.stablehlo")
+        export_program(fn, [concrete_spec(img)], path, platforms=("cpu",))
+        got = run_exported(path, img)
+        want = jax.jit(fn)(img)
+        assert got.shape == (1, 64, 96)
+        assert float(jnp.max(got)) <= 80.0 and float(jnp.min(got)) >= 0.0
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+        )
+
+
 class TestExportCli:
     def test_cli_export_verify(self, tmp_path):
         from unsupervised_pseuso_lidar_tpu.cli.export import main
