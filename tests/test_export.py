@@ -206,3 +206,17 @@ class TestExportCli:
         ])
         assert os.path.exists(out) and os.path.exists(out + ".json")
         assert [str(a.shape) for a in exported.in_avals] == ["(2, 64, 96, 3)"]
+
+    def test_cli_rejects_empty_checkpoint(self, tmp_path):
+        # an explicit --checkpoint that restores nothing must FAIL, not
+        # silently export untrained weights labeled with that provenance
+        from unsupervised_pseuso_lidar_tpu.cli.export import main
+
+        with pytest.raises(FileNotFoundError, match="no restorable state"):
+            main([
+                "--config", "configs/test_config.yaml",
+                "--out", str(tmp_path / "x.stablehlo"),
+                "--checkpoint", str(tmp_path / "no_such_ckpt"),
+                "--height", "64", "--width", "96",
+                "--platforms", "cpu",
+            ])

@@ -298,6 +298,21 @@ class TestStreamingPipeline:
         np.testing.assert_allclose(single.depth, multi.depth, rtol=1e-6)
         np.testing.assert_allclose(single.points, multi.points, rtol=1e-6)
 
+        # a source that raises mid-stream must terminate the loop with
+        # that exception, not hang the consumer on an empty queue
+        def bad_source():
+            yield np.zeros((16, 32, 3), np.float32)
+            raise RuntimeError("corrupt frame")
+
+        seen = []
+        with pytest.raises(RuntimeError, match="corrupt frame"):
+            pipeline.run(bad_source(), seen.append, queue_size=8)
+        assert len(seen) == 1  # the good frame was still processed
+        with pytest.raises(RuntimeError, match="corrupt frame"):
+            pipeline.run_multi(
+                [bad_source(), bad_source()], seen.append, queue_size=8
+            )
+
 
 class TestVeloGT:
     def test_depth_gt_from_velo(self, tmp_path):

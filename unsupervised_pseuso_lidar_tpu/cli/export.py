@@ -67,42 +67,14 @@ def main(argv=None):
     state, depth_model, _, _ = create_train_state(
         config, jax.random.PRNGKey(config.action.random_seed)
     )
-    params, batch_stats = state.params, state.batch_stats
+    from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+        load_serving_weights,
+    )
 
-    if args.torch_checkpoint:
-        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
-            import_torch_state,
-            load_pretrained_depth,
-            load_torch_checkpoint,
-        )
-
-        if config.model.depth.name == "DispResNet":
-            depth_params, depth_stats = load_pretrained_depth(
-                params["depth"], batch_stats["depth"], args.torch_checkpoint
-            )
-        else:
-            ckpt = load_torch_checkpoint(args.torch_checkpoint)
-            state_dict = ckpt.get("dpth_mdl_state_dict", ckpt)
-            depth_params, depth_stats = import_torch_state(
-                params["depth"], batch_stats["depth"],
-                state_dict, config.model.depth.name,
-            )
-        params = dict(params, depth=depth_params)
-        batch_stats = dict(batch_stats, depth=depth_stats)
-    elif args.checkpoint or not config.action.from_scratch:
-        import os
-
-        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
-            CheckpointManager,
-        )
-
-        path = args.checkpoint or os.path.join(
-            config.action.checkpoint_dir, config.model.name
-        )
-        restored = CheckpointManager(path).restore(state)
-        if restored is not None:
-            state = restored[0]
-            params, batch_stats = state.params, state.batch_stats
+    params, batch_stats, weight_source = load_serving_weights(
+        config, state,
+        torch_checkpoint=args.torch_checkpoint, checkpoint=args.checkpoint,
+    )
 
     height, width = config.image_shape
     height = args.height or height
@@ -124,6 +96,8 @@ def main(argv=None):
             fn, PseudoLiDAR(args.calib, sparsity=args.sparsity)
         )
 
+    import os
+
     example = jnp.zeros((max(args.batch, 1), height, width, 3), jnp.float32)
     spec = batch_poly_spec(example) if args.batch_poly else concrete_spec(example)
     exported = export_program(
@@ -134,12 +108,11 @@ def main(argv=None):
             "image_height": height,
             "image_width": width,
             "fused_pointcloud": bool(args.calib),
-            "weights": (args.torch_checkpoint or args.checkpoint
-                        or "init (untrained)"),
+            "weights": weight_source,
         },
     )
     print(
-        f"wrote {args.out} ({len(exported.serialize())} bytes, "
+        f"wrote {args.out} ({os.path.getsize(args.out)} bytes, "
         f"platforms={list(exported.platforms)}, "
         f"inputs={[str(a.shape) for a in exported.in_avals]})"
     )

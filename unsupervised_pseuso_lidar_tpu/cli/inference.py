@@ -43,44 +43,18 @@ def main(argv=None):
     state, depth_model, _, _ = create_train_state(
         config, jax.random.PRNGKey(config.action.random_seed)
     )
-    params, batch_stats = state.params, state.batch_stats
+    # one shared weight-resolution path with cli/export (accepts every
+    # documented blob shape: full reference checkpoint, bare state dict,
+    # torchvision ImageNet weights, or an orbax dir; an explicit
+    # --checkpoint that restores nothing is an error)
+    from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+        load_serving_weights,
+    )
 
-    if args.torch_checkpoint:
-        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
-            import_torch_state,
-            load_pretrained_depth,
-            load_torch_checkpoint,
-        )
-
-        if config.model.depth.name == "DispResNet":
-            # accepts every documented blob shape: a full reference
-            # checkpoint ({epoch, dpth_mdl_state_dict, ...}), a bare
-            # DispResNet state dict, or torchvision ImageNet weights
-            depth_params, depth_stats = load_pretrained_depth(
-                params["depth"], batch_stats["depth"], args.torch_checkpoint
-            )
-        else:
-            ckpt = load_torch_checkpoint(args.torch_checkpoint)
-            # full reference checkpoint or a bare model state dict
-            state_dict = ckpt.get("dpth_mdl_state_dict", ckpt)
-            depth_params, depth_stats = import_torch_state(
-                params["depth"], batch_stats["depth"],
-                state_dict, config.model.depth.name,
-            )
-        params = dict(params, depth=depth_params)
-        batch_stats = dict(batch_stats, depth=depth_stats)
-    elif args.checkpoint or not config.action.from_scratch:
-        from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
-
-        import os
-
-        path = args.checkpoint or os.path.join(
-            config.action.checkpoint_dir, config.model.name
-        )
-        restored = CheckpointManager(path).restore(state)
-        if restored is not None:
-            state = restored[0]
-            params, batch_stats = state.params, state.batch_stats
+    params, batch_stats, _ = load_serving_weights(
+        config, state,
+        torch_checkpoint=args.torch_checkpoint, checkpoint=args.checkpoint,
+    )
 
     img, _, _ = load_image(args.image, config.image_shape)
 

@@ -107,7 +107,11 @@ def export_program(
             for a in avals
         ]
 
+    # reserved fields describe the actual artifact and always win — user
+    # metadata must not be able to misstate platforms/shapes/sizes to the
+    # fleet tooling that reads sidecars
     sidecar = {
+        **(metadata or {}),
         "format": "jax.export.Exported",
         "calling_convention_version": exported.calling_convention_version,
         "platforms": list(exported.platforms),
@@ -115,7 +119,6 @@ def export_program(
         "inputs": describe(exported.in_avals),
         "outputs": describe(exported.out_avals),
         "size_bytes": len(blob),
-        **(metadata or {}),
     }
     with open(path + ".json", "w") as f:
         json.dump(sidecar, f, indent=2)

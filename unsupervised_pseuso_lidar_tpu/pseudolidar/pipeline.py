@@ -122,28 +122,33 @@ class DepthToPointCloudPipeline:
             for s in range(depth.shape[0])
         ]
 
-    def run(
-        self,
-        source: Iterator[np.ndarray],
-        on_result: Callable[[PipelineResult], None],
-        queue_size: int = 1,
-    ) -> int:
-        """Stream frames through the pipeline with a latest-wins input
-        queue (the ROS queue_size=1 semantics); returns frames processed."""
+    def _stream(self, payloads, handle: Callable[[int, np.ndarray], None],
+                queue_size: int) -> int:
+        """Shared streaming loop: a feed thread pushes enumerated payloads
+        through a bounded latest-wins queue (the ROS nodes' queue_size=1
+        semantics — stale items are dropped under load) into `handle`.
+        A source that raises mid-stream still terminates the loop (the
+        sentinel is enqueued unconditionally) and its exception re-raises
+        here instead of hanging the consumer."""
         q: "queue.Queue" = queue.Queue(maxsize=queue_size)
         sentinel = object()
+        failure: list = []
 
         def feed():
-            for i, frame in enumerate(source):
-                try:
-                    q.put_nowait((i, frame))
-                except queue.Full:
-                    try:  # drop the stale frame, keep the fresh one
-                        q.get_nowait()
-                    except queue.Empty:
-                        pass
-                    q.put((i, frame))
-            q.put(sentinel)
+            try:
+                for item in enumerate(payloads):
+                    try:
+                        q.put_nowait(item)
+                    except queue.Full:
+                        try:  # drop the stale item, keep the fresh one
+                            q.get_nowait()
+                        except queue.Empty:
+                            pass
+                        q.put(item)
+            except BaseException as exc:  # propagate to the consumer
+                failure.append(exc)
+            finally:
+                q.put(sentinel)
 
         thread = threading.Thread(target=feed, daemon=True)
         thread.start()
@@ -152,10 +157,26 @@ class DepthToPointCloudPipeline:
         while True:
             item = q.get()
             if item is sentinel:
+                if failure:
+                    raise failure[0]
                 return processed
-            index, frame = item
-            on_result(self.process(frame, index))
+            index, payload = item
+            handle(index, payload)
             processed += 1
+
+    def run(
+        self,
+        source: Iterator[np.ndarray],
+        on_result: Callable[[PipelineResult], None],
+        queue_size: int = 1,
+    ) -> int:
+        """Stream frames through the pipeline with a latest-wins input
+        queue (the ROS queue_size=1 semantics); returns frames processed."""
+        return self._stream(
+            source,
+            lambda i, frame: on_result(self.process(frame, i)),
+            queue_size,
+        )
 
     def run_multi(
         self,
@@ -169,31 +190,11 @@ class DepthToPointCloudPipeline:
         stream per step (PipelineResult.stream_index identifies the
         camera). Returns rig steps processed; stops at the shortest
         source (a rig frame needs all cameras)."""
-        q: "queue.Queue" = queue.Queue(maxsize=queue_size)
-        sentinel = object()
 
-        def feed():
-            for i, frames in enumerate(zip(*sources)):
-                item = (i, np.stack(frames))
-                try:
-                    q.put_nowait(item)
-                except queue.Full:
-                    try:  # drop the stale rig frame, keep the fresh one
-                        q.get_nowait()
-                    except queue.Empty:
-                        pass
-                    q.put(item)
-            q.put(sentinel)
-
-        thread = threading.Thread(target=feed, daemon=True)
-        thread.start()
-
-        processed = 0
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return processed
-            index, frames = item
-            for result in self.process_batch(frames, index):
+        def handle(i, frames):
+            for result in self.process_batch(frames, i):
                 on_result(result)
-            processed += 1
+
+        return self._stream(
+            (np.stack(frames) for frames in zip(*sources)), handle, queue_size
+        )

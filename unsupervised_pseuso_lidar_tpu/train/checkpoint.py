@@ -572,3 +572,62 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_serving_weights(config, state, torch_checkpoint=None,
+                         checkpoint=None):
+    """Resolve the depth-model weights a serving entry point should use.
+
+    One shared path for cli/inference, cli/export (and anything else
+    that turns a config + optional checkpoint flags into variables):
+
+      * torch_checkpoint: a reference-schema .pth (full checkpoint, bare
+        state dict, or torchvision ImageNet weights for DispResNet);
+      * checkpoint: an orbax checkpoint dir — MUST contain a restorable
+        state (a typo'd path must not silently serve untrained weights);
+      * neither: the config's checkpoint dir when from_scratch is False,
+        else the state's init weights.
+
+    Returns (params, batch_stats, source) where source describes the
+    weight provenance ("init (untrained)" when nothing was restored).
+    """
+    import os
+
+    params, batch_stats = state.params, state.batch_stats
+
+    if torch_checkpoint:
+        if config.model.depth.name == "DispResNet":
+            depth_params, depth_stats = load_pretrained_depth(
+                params["depth"], batch_stats["depth"], torch_checkpoint
+            )
+        else:
+            ckpt = load_torch_checkpoint(torch_checkpoint)
+            state_dict = ckpt.get("dpth_mdl_state_dict", ckpt)
+            depth_params, depth_stats = import_torch_state(
+                params["depth"], batch_stats["depth"],
+                state_dict, config.model.depth.name,
+            )
+        return (
+            dict(params, depth=depth_params),
+            dict(batch_stats, depth=depth_stats),
+            torch_checkpoint,
+        )
+
+    if checkpoint or not config.action.from_scratch:
+        path = checkpoint or os.path.join(
+            config.action.checkpoint_dir, config.model.name
+        )
+        restored = CheckpointManager(path).restore(state)
+        if restored is not None:
+            new_state = restored[0]
+            return new_state.params, new_state.batch_stats, path
+        if checkpoint:
+            # an EXPLICIT checkpoint that restores nothing is an error:
+            # falling back to init weights would ship an untrained model
+            # labeled with this path as provenance
+            raise FileNotFoundError(
+                f"--checkpoint {checkpoint}: no restorable state found"
+            )
+        print(f"warning: no checkpoint under {path}; using init weights")
+
+    return params, batch_stats, "init (untrained)"
