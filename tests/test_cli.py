@@ -158,18 +158,28 @@ def test_splits_cli(mini_kitti, tmp_path):  # noqa: F811
     assert lines2 and all(len(line.split()) == 3 for line in lines2)
 
 
-def test_pipeline_cli_multi_camera(mini_kitti, tmp_path, capsys):  # noqa: F811
+def test_pipeline_cli_multi_camera(cli_config, mini_kitti, tmp_path, capsys):  # noqa: F811
     """camera->depth->cloud CLI over a 2-camera rig: one fused batch-2
-    program per rig step, per-camera cloud files, rig-step JSON stats."""
+    program per rig step, per-camera cloud files, rig-step JSON stats —
+    serving the --config's depth model through the shared
+    weight-resolution path."""
+    import pytest
+
     from unsupervised_pseuso_lidar_tpu.cli.pipeline import main
 
     img_dir = os.path.join(mini_kitti["kitti"], DATE, DRIVE, "image_02", "data")
     calib = os.path.join(mini_kitti["kitti"], DATE)
+
+    # checkpoint flags without --config cannot resolve an architecture
+    with pytest.raises(SystemExit, match="need --config"):
+        main(["--images", img_dir, "--calib", calib,
+              "--checkpoint", str(tmp_path / "ckpt")])
+
     save = tmp_path / "clouds"
     main([
         "--images", img_dir, img_dir,
         "--calib", calib,
-        "--model", "StnDispNet",
+        "--config", cli_config,
         "--height", "32", "--width", "32",
         "--max-frames", "2",
         "--queue-size", "8",

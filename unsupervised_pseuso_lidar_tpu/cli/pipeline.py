@@ -30,6 +30,15 @@ def main(argv=None):
     parser.add_argument("--calib", required=True, help="KITTI calib directory")
     parser.add_argument("--model", default="DispResNet",
                         choices=["DispResNet", "DispNetS", "StnDispNet", "BtsModel"])
+    parser.add_argument("--config", default=None,
+                        help="training config: serve ITS depth model with "
+                        "checkpointed weights (see --checkpoint)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="orbax checkpoint dir (with --config; default: "
+                        "the config's checkpoint path)")
+    parser.add_argument("--torch-checkpoint", default=None,
+                        help="reference .pth checkpoint to import "
+                        "(with --config)")
     parser.add_argument("--height", type=int, default=192)
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--rate", type=float, default=0.0,
@@ -56,12 +65,41 @@ def main(argv=None):
     )
     from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import PseudoLiDAR
 
-    model = build_model(args.model)
-    img0 = jnp.zeros((1, args.height, args.width, 3))
-    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-        jax.random.PRNGKey(0), img0
-    )
-    if args.model == "BtsModel":
+    if args.config:
+        # serve trained weights: the config's depth model + the shared
+        # weight-resolution path (orbax or reference .pth)
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            load_serving_weights,
+        )
+        from unsupervised_pseuso_lidar_tpu.train.config import load_config
+        from unsupervised_pseuso_lidar_tpu.train.trainer import (
+            create_train_state,
+        )
+
+        config = load_config(args.config)
+        state, model, _, _ = create_train_state(
+            config, jax.random.PRNGKey(config.action.random_seed)
+        )
+        model_name = config.model.depth.name
+        params, batch_stats, source = load_serving_weights(
+            config, state,
+            torch_checkpoint=args.torch_checkpoint,
+            checkpoint=args.checkpoint,
+        )
+        variables = {"params": params["depth"],
+                     "batch_stats": batch_stats["depth"]}
+        print(f"serving {model_name} weights from {source}")
+    else:
+        if args.checkpoint or args.torch_checkpoint:
+            raise SystemExit("--checkpoint/--torch-checkpoint need --config "
+                             "(to know the model architecture)")
+        model = build_model(args.model)
+        model_name = args.model
+        img0 = jnp.zeros((1, args.height, args.width, 3))
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), img0
+        )
+    if model_name == "BtsModel":
         def depth_fn(variables, img):
             outputs = model.apply(variables, img, train=False)
             return outputs[-1][..., 0]  # final metric depth
