@@ -414,17 +414,18 @@ def main():
     # the meaningful number (monocular scale ambiguity); it must drop.
     from unsupervised_pseuso_lidar_tpu.eval.pose import pose_errors
 
+    from unsupervised_pseuso_lidar_tpu.eval.pose import pose_forward
+    from unsupervised_pseuso_lidar_tpu.train.trainer import (
+        normalize_uint8_batch,
+    )
+
     @jax.jit
     def eval_pose(params, batch):
-        imgs = jax.tree.map(
-            lambda x: x.astype(jnp.float32) if x.dtype == jnp.uint8 else x,
-            batch,
-        )
-        return pose16.apply(
-            {"params": params["pose"]},
-            imgs["tgt"],
-            [imgs["ref_imgs"][:, 0], imgs["ref_imgs"][:, 1]],
-        )
+        # the SAME uint8->normalized path every inference surface uses
+        # (a bare astype would silently feed 0-255 inputs if this batch
+        # ever switches to the uint8 pipeline)
+        imgs = normalize_uint8_batch(batch)
+        return pose_forward(pose16, params, {"pose": {}}, imgs)
 
     eval_pose_batch = {
         k: jnp.asarray(eval_raw[k]) for k in ("tgt", "ref_imgs", "oxts")

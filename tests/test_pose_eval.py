@@ -181,6 +181,39 @@ class TestTrajectory:
             walked = np.linalg.solve(t, walked)
         np.testing.assert_allclose(poses[-1] @ x, walked, atol=1e-4)
 
+    def test_float64_twins_match_se3(self):
+        # the host float64 link builders must agree with the jitted se3
+        # helpers (same conventions) to fp32 accuracy
+        import jax.numpy as jnp
+
+        from unsupervised_pseuso_lidar_tpu.eval.trajectory import (
+            relative_matrices,
+        )
+        from unsupervised_pseuso_lidar_tpu.geometry.se3 import (
+            euler2mat,
+            pose_matrix,
+        )
+
+        rng = np.random.default_rng(11)
+        rel = rng.normal(scale=0.4, size=(6, 6))
+        rel[0, :3] = 0.0  # exercise the small-angle series branch
+        got = relative_matrices(rel, "axis_angle")
+        want = np.asarray(pose_matrix(jnp.asarray(rel, jnp.float32)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        got_e = relative_matrices(rel, "euler")
+        want_rot = np.asarray(euler2mat(jnp.asarray(rel[:, :3], jnp.float32)))
+        np.testing.assert_allclose(got_e[:, :3, :3], want_rot, atol=1e-6)
+        # and they must be genuinely float64: a long chain of tiny
+        # rotations composed in float64 stays orthonormal to ~1e-12
+        tiny = np.zeros((2000, 6))
+        tiny[:, 1] = 1e-3
+        mats = relative_matrices(tiny, "axis_angle")
+        chain = np.eye(4)
+        for m in mats:
+            chain = chain @ m
+        err = np.abs(chain[:3, :3] @ chain[:3, :3].T - np.eye(3)).max()
+        assert err < 1e-10
+
     def test_kitti_odometry_lines_format(self):
         from unsupervised_pseuso_lidar_tpu.eval.trajectory import (
             integrate_relative_poses,

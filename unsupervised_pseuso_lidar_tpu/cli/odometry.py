@@ -64,17 +64,12 @@ def main(argv=None):
     trainer = Trainer(config, dataset=dataset)
     pose_model, state = trainer.pose_model, trainer.state
 
+    from unsupervised_pseuso_lidar_tpu.eval.pose import pose_forward
+
     @jax.jit
     def predict(params, batch_stats, batch):
         batch = normalize_uint8_batch(batch)
-        pose_in = {"params": params["pose"]}
-        if batch_stats["pose"]:
-            pose_in["batch_stats"] = batch_stats["pose"]
-        return pose_model.apply(
-            pose_in,
-            batch["tgt"],
-            [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
-        )
+        return pose_forward(pose_model, params, batch_stats, batch)
 
     import os
 
@@ -92,16 +87,47 @@ def main(argv=None):
         rel_pred, rel_gt = [], []
         for start in range(0, len(indices), batch_size):
             chunk = indices[start : start + batch_size]
+            # pad the final chunk to the full batch (repeating the last
+            # window) so every drive compiles predict() exactly ONCE —
+            # each distinct trailing size would otherwise retrace, and
+            # compiles dominate wall-clock on tunneled devices
+            padded = list(chunk) + [chunk[-1]] * (batch_size - len(chunk))
             batch = collate(
                 [dataset.load_sample(i, with_groundtruth=False)
-                 for i in chunk]
+                 for i in padded]
             )
             poses = np.asarray(
                 predict(state.params, state.batch_stats, batch)
             )
-            rel_pred.append(poses)        # [b, 2, 6] (tgt->t-1, tgt->t+1)
-            rel_gt.append(np.asarray(batch["oxts"]))
+            rel_pred.append(poses[: len(chunk)])  # [b,2,6] (tgt->t-1, tgt->t+1)
+            rel_gt.append(np.asarray(batch["oxts"])[: len(chunk)])
         return np.concatenate(rel_pred, axis=0), np.concatenate(rel_gt, axis=0)
+
+    def exact_gt_trajectory(indices):
+        """Drift-free GT: absolute OXTS world poses -> camera-0-frame
+        camera poses, P_k = C @ inv(T_w_0) @ T_w_k @ C^-1 (float64) —
+        NOT an integration of per-window relative vectors, which would
+        re-accumulate composition error in the file that trajectory
+        benchmarks treat as truth."""
+        from unsupervised_pseuso_lidar_tpu.geometry.oxts import (
+            load_oxts_packets_and_poses,
+        )
+
+        samples = [dataset.samples[i] for i in indices]
+        # window k is centered at frame k+1: frame 0 is window 0's ref0,
+        # frames 1..N are the tgt frames, frame N+1 is the last ref1
+        oxts_files = (
+            [samples[0].oxts[1]]
+            + [s.oxts[0] for s in samples]
+            + [samples[-1].oxts[2]]
+        )
+        world = load_oxts_packets_and_poses(oxts_files)
+        c = np.asarray(samples[0].imu_to_cam, np.float64)
+        c_inv = np.linalg.inv(c)
+        t0_inv = np.linalg.inv(np.asarray(world[0], np.float64))
+        return np.stack(
+            [c @ t0_inv @ np.asarray(t, np.float64) @ c_inv for t in world]
+        )
 
     def world_trajectory(rel, mode):
         # window k is centered at frame k+1, so rel[:, 1] chains
@@ -138,9 +164,7 @@ def main(argv=None):
             with open(out_path(args.gt_out, drive, multi), "w") as f:
                 f.write(
                     "\n".join(
-                        kitti_odometry_lines(
-                            world_trajectory(gt, "axis_angle")
-                        )
+                        kitti_odometry_lines(exact_gt_trajectory(indices))
                     )
                     + "\n"
                 )

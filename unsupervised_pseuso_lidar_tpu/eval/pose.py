@@ -106,8 +106,27 @@ def pose_errors(
     }
 
 
+def pose_forward(pose_model, params, batch_stats, batch):
+    """Bare pose-net forward on a NORMALIZED batch dict: the one shared
+    apply-with-optional-batch-stats fragment every pose-metric surface
+    (this module, cli/odometry, benchmark row 5c) composes."""
+    pose_in = {"params": params["pose"]}
+    if batch_stats["pose"]:
+        pose_in["batch_stats"] = batch_stats["pose"]
+    return pose_model.apply(
+        pose_in,
+        batch["tgt"],
+        [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
+    )
+
+
 def make_pose_eval_step(pose_model, semi_sup_pose: bool = False):
     """Jitted step(state, batch) -> pose metrics vs the batch's OXTS GT.
+
+    This is the standalone pose-only surface (no depth model needed);
+    the per-epoch validation path computes the SAME pose_errors inside
+    the full eval step (train/trainer.make_eval_step(pose_metrics=True))
+    from the pose forward the loss already ran.
 
     Consumes the same host batches as training/validation (the `oxts`
     field is the camera-frame odometry the reference's semi-supervised
@@ -122,21 +141,14 @@ def make_pose_eval_step(pose_model, semi_sup_pose: bool = False):
         batch = normalize_uint8_batch(batch)
         if semi_sup_pose:
             poses = batch["oxts"]
-            pred_mode = "axis_angle"  # oxts IS the warp convention
         else:
-            pose_in = {"params": state.params["pose"]}
-            if state.batch_stats["pose"]:
-                pose_in["batch_stats"] = state.batch_stats["pose"]
-            poses = pose_model.apply(
-                pose_in,
-                batch["tgt"],
-                [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
+            poses = pose_forward(
+                pose_model, state.params, state.batch_stats, batch
             )
-            pred_mode = "axis_angle"
         return pose_errors(
             poses.astype(jnp.float32),
             batch["oxts"].astype(jnp.float32),
-            pred_mode=pred_mode,
+            pred_mode="axis_angle",  # oxts IS the warp convention
         )
 
     return jax.jit(step)
