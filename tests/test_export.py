@@ -167,6 +167,52 @@ class TestFusedDepthCloud:
         assert valid.shape == (3, 64 * 96)
 
 
+class TestArtifactServesPipeline:
+    def test_exported_artifact_as_pipeline_depth_fn(self, depth_setup, tmp_path):
+        # deployment composition: a batch-polymorphic artifact (no model
+        # code) drives the streaming pipeline — including the multi-camera
+        # batch-N path — exactly like the live model would
+        from unsupervised_pseuso_lidar_tpu.pseudolidar.pipeline import (
+            DepthToPointCloudPipeline,
+        )
+        from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+            PseudoLiDAR,
+        )
+
+        _, _, fn = depth_setup
+        path = str(tmp_path / "depth_poly.stablehlo")
+        export_program(fn, [batch_poly_spec(_img(1))], path, platforms=("cpu",))
+        program = load_exported(path)
+
+        calib = tmp_path / "calib"
+        calib.mkdir()
+        (calib / "calib_cam_to_cam.txt").write_text(
+            "K_02: 100 0 48 0 100 32 0 0 1\n"
+            "P_rect_02: 100 0 48 0 0 100 32 0 0 0 1 0\n"
+            "R_rect_02: 1 0 0 0 1 0 0 0 1\n"
+        )
+        (calib / "calib_velo_to_cam.txt").write_text(
+            "R: 0 -1 0 0 0 -1 1 0 0\nT: 0 0 0\n"
+        )
+        (calib / "calib_imu_to_velo.txt").write_text(
+            "R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n"
+        )
+
+        artifact_pipe = DepthToPointCloudPipeline(
+            program.call, PseudoLiDAR(str(calib))
+        )
+        live_pipe = DepthToPointCloudPipeline(
+            jax.jit(fn), PseudoLiDAR(str(calib))
+        )
+        frames = np.asarray(_img(3))
+        got = artifact_pipe.process_batch(frames, 0)
+        want = live_pipe.process_batch(frames, 0)
+        assert [r.stream_index for r in got] == [0, 1, 2]
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g.depth, w.depth, rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(g.points, w.points, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.slow
 class TestBtsExport:
     def test_bts_metric_output_roundtrip(self, tmp_path):
