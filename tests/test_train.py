@@ -514,12 +514,13 @@ class TestAugmentation:
             jnp.asarray([[100.0, 0, 5.0], [0, 100.0, 4.0], [0, 0, 1]]),
             (batch, 3, 3),
         )
-        tgt2, refs2, k2 = horizontal_flip(rng, tgt, refs, k, prob=1.0)
+        tgt2, refs2, k2, flipped = horizontal_flip(rng, tgt, refs, k, prob=1.0)
         np.testing.assert_allclose(
             np.asarray(tgt2), np.asarray(tgt[:, :, ::-1, :]), atol=1e-7
         )
         np.testing.assert_allclose(np.asarray(k2[:, 0, 2]), width - 1 - 5.0)
         np.testing.assert_allclose(np.asarray(k2[:, 1, 2]), 4.0)
+        assert np.asarray(flipped).all()
 
     def test_train_step_with_augmentation_and_uint8(self):
         config = _small_config()
@@ -553,6 +554,80 @@ class TestLossModesAndKwargs:
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "groundtruth"}
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_supervised_depth_term(self):
+        # optional sparse-LiDAR supervision (action.supervised_weight):
+        # the reference's loss receives gt but never uses it
+        # (losses.py:262-271); here a masked L1 in meters joins the
+        # objective and its metric must drop under training
+        config = _small_config()
+        state, dm, pm, tx = create_train_state(config, jax.random.PRNGKey(0), 10)
+        raw = synthetic_triplet_batch(2, 64, 96, seed=0, slant_deg=10.0)
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        # sparsify the GT like LiDAR returns (~10% of pixels)
+        rng = np.random.default_rng(0)
+        keep = rng.uniform(size=raw["groundtruth"].shape) < 0.1
+        batch["groundtruth"] = batch["groundtruth"] * keep
+
+        # strong weight so the LiDAR term dominates the gradient within a
+        # few steps (at init the depth head sits ~0.2 m vs 6-23 m GT;
+        # well-conditioned disparity smoothing as in the benchmarks)
+        # donate=False: the init state is reused for the weight-0
+        # comparison below (donation would free its buffers)
+        step = make_train_step(dm, pm, tx, donate=False,
+                               supervised_weight=100.0,
+                               smooth_on="disp", smooth_weight=1e-3)
+        sups = []
+        s = state
+        for _ in range(15):
+            s, metrics = step(s, batch)
+            sups.append(float(metrics["supervised_loss"]))
+        assert np.isfinite(sups).all()
+        assert sups[-1] < 0.7 * sups[0], sups
+
+        # weight 0 (the default/reference behavior): gt present but the
+        # metric is absent and the loss equals the unsupervised one
+        step0 = make_train_step(dm, pm, tx, donate=False)
+        _, m0 = step0(state, batch)
+        assert "supervised_loss" not in m0
+        stepw = make_train_step(dm, pm, tx, donate=False,
+                                supervised_weight=1.0)
+        _, mw = stepw(state, batch)
+        assert float(mw["loss"]) > float(m0["loss"])
+
+    def test_hflip_mirrors_groundtruth(self):
+        # supervised training + flip augmentation: the sparse GT must
+        # mirror with the SAME per-sample decisions as the images
+        from unsupervised_pseuso_lidar_tpu.data.augment import augment_batch
+
+        rng = np.random.default_rng(3)
+        batch = {
+            "tgt": jnp.asarray(rng.uniform(0, 1, (8, 8, 16, 3)), jnp.float32),
+            "ref_imgs": jnp.asarray(
+                rng.uniform(0, 1, (8, 2, 8, 16, 3)), jnp.float32
+            ),
+            "intrinsics": jnp.broadcast_to(
+                jnp.asarray([[100.0, 0, 8], [0, 100.0, 4], [0, 0, 1]]),
+                (8, 3, 3),
+            ),
+            "groundtruth": jnp.asarray(
+                rng.uniform(1, 50, (8, 8, 16)), jnp.float32
+            ),
+        }
+        out = augment_batch(jnp.asarray(0), batch, jitter=False, flip=True)
+        tgt_in = np.asarray(batch["tgt"])
+        tgt_out = np.asarray(out["tgt"])
+        gt_in = np.asarray(batch["groundtruth"])
+        gt_out = np.asarray(out["groundtruth"])
+        flipped_any = 0
+        for b in range(8):
+            was_flipped = np.allclose(tgt_out[b], tgt_in[b, :, ::-1, :])
+            if was_flipped and not np.allclose(tgt_out[b], tgt_in[b]):
+                flipped_any += 1
+                np.testing.assert_allclose(gt_out[b], gt_in[b, :, ::-1])
+            else:
+                np.testing.assert_allclose(gt_out[b], gt_in[b])
+        assert flipped_any > 0  # prob 0.5 over 8 samples: flips happened
 
     def test_model_kwargs_from_yaml(self):
         # extra model.depth keys flow into the constructor (all_scales)

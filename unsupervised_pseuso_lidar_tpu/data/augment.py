@@ -58,11 +58,13 @@ def horizontal_flip(
     refs: jax.Array,
     intrinsics: jax.Array,
     prob: float = 0.5,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-sample horizontal flip of the whole triplet + mirrored cx.
 
     cx' = (W - 1) - cx keeps the pinhole model consistent with the
-    flipped pixel grid.
+    flipped pixel grid. Also returns the per-sample flip mask so callers
+    can mirror any co-registered arrays (e.g. sparse depth ground truth)
+    with the same decisions.
     """
     batch, _, width, _ = tgt.shape
     flip = jax.random.bernoulli(rng, prob, (batch,))
@@ -77,7 +79,7 @@ def horizontal_flip(
     new_cx = (width - 1) - intrinsics[:, 0, 2]
     cx = jnp.where(flip, new_cx, intrinsics[:, 0, 2])
     intrinsics = intrinsics.at[:, 0, 2].set(cx)
-    return tgt, refs, intrinsics
+    return tgt, refs, intrinsics, flip
 
 
 def augment_batch(
@@ -93,10 +95,21 @@ def augment_batch(
     rng = jax.random.fold_in(jax.random.PRNGKey(seed), step)
     tgt, refs = batch["tgt"], batch["ref_imgs"]
     intrinsics = batch["intrinsics"]
+    out = dict(batch)
     if flip:
         rng, k = jax.random.split(rng)
-        tgt, refs, intrinsics = horizontal_flip(k, tgt, refs, intrinsics)
+        tgt, refs, intrinsics, flipped = horizontal_flip(
+            k, tgt, refs, intrinsics
+        )
+        if "groundtruth" in batch:
+            # mirror the sparse depth GT with the SAME per-sample
+            # decisions (a supervised term would otherwise compare
+            # flipped predictions against unflipped truth)
+            gt = batch["groundtruth"]
+            out["groundtruth"] = jnp.where(
+                flipped[:, None, None], gt[:, :, ::-1], gt
+            )
     if jitter:
         rng, k = jax.random.split(rng)
         tgt, refs = color_jitter(k, tgt, refs)
-    return dict(batch, tgt=tgt, ref_imgs=refs, intrinsics=intrinsics)
+    return dict(out, tgt=tgt, ref_imgs=refs, intrinsics=intrinsics)

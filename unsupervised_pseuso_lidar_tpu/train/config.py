@@ -101,6 +101,10 @@ class ActionConfig:
     loss_mode: str = "mean"
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
+    # optional sparse-LiDAR depth supervision (masked L1, meters) added
+    # to the self-supervised objective; 0 = off (reference behavior —
+    # its loss receives gt but never uses it, losses.py:262-271)
+    supervised_weight: float = 0.0
     warp_impl: str = "mxu"  # 'mxu' = band-matmul warp (fast); 'gather' = exact
     # fused-Pallas-warp column-window width (0 = auto: 384 on lane-aligned
     # widths >= 512). Must be a positive multiple of 128 when set; narrower
@@ -195,6 +199,7 @@ class Config:
             loss_mode=act_raw.get("loss_mode", "mean"),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
+            supervised_weight=float(act_raw.get("supervised_weight", 0.0)),
             warp_impl=act_raw.get("warp_impl", "mxu"),
             warp_col_band=int(act_raw.get("warp_col_band", 0)),
             precision=act_raw.get("precision", "fp32"),

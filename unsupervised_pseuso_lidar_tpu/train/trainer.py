@@ -236,6 +236,7 @@ def make_train_step_body(
     semi_sup_pose: bool = False,
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
+    supervised_weight: float = 0.0,
     warp_impl: str = "mxu",
     col_band: Optional[int] = None,
     accum_steps: int = 1,
@@ -301,6 +302,23 @@ def make_train_step_body(
             reproj, smooth = result
             extra = {}
         loss = reproj + smooth
+        if supervised_weight and "groundtruth" in batch:
+            # optional sparse-LiDAR supervision (beyond-reference: the
+            # reference's Losses.forward receives gt but never uses it,
+            # /root/reference/losses.py:262-271): masked L1 in meters on
+            # the finest-scale depth, gt == 0 means no LiDAR return
+            from unsupervised_pseuso_lidar_tpu.geometry.warp import (
+                disp_to_depth,
+            )
+
+            gt = batch["groundtruth"].astype(jnp.float32)
+            pred = disp_to_depth(disps_tgt[0][..., 0])
+            valid = (gt > 1e-3).astype(jnp.float32)
+            sup = jnp.sum(jnp.abs(pred - gt) * valid) / jnp.maximum(
+                valid.sum(), 1.0
+            )
+            loss = loss + supervised_weight * sup
+            extra = dict(extra, supervised_loss=sup)
         return loss, (reproj, smooth, new_stats, extra)
 
     maybe_remat_loss = jax.checkpoint(loss_fn) if remat else loss_fn
@@ -563,6 +581,7 @@ class Trainer:
             semi_sup_pose=config.action.semi_sup_pose,
             smooth_weight=config.action.smooth_weight,
             smooth_on=config.action.smooth_on,
+            supervised_weight=config.action.supervised_weight,
             warp_impl=config.action.warp_impl,
             col_band=config.action.warp_col_band or None,
             accum_steps=config.action.accum_steps,
@@ -614,7 +633,13 @@ class Trainer:
         for i, batch in enumerate(train_batches):
             self._last_batch = batch  # epoch-end warp visualization
             self.state, metrics = self.train_step(
-                self.state, self._device_batch(batch)
+                self.state,
+                self._device_batch(
+                    batch,
+                    keep_groundtruth=bool(
+                        self.config.action.supervised_weight
+                    ),
+                ),
             )
             if self.log_fn is not None and (i + 1) % self.config.action.log_freq == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
