@@ -176,6 +176,34 @@ class TestMultiChip:
         leaf = jax.tree.leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    def test_sharded_supervised_term(self):
+        # the supervised path adds a [B, H, W] groundtruth key to the
+        # train batch: it must shard over "data" like the images and the
+        # masked-L1 reduction must psum correctly across devices
+        mesh = make_mesh(8)
+        config = _small_config()
+        state, dm, pm, tx = create_train_state(
+            config, jax.random.PRNGKey(0), steps_per_epoch=10
+        )
+        batch = synthetic_triplet_batch(8, 64, 96, seed=0, slant_deg=10.0)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        step1 = make_train_step(dm, pm, tx, donate=False,
+                                supervised_weight=1.0)
+        _, m1 = step1(state, batch)
+
+        sharded = shard_train_state(mesh, state)
+        step8 = make_train_step(dm, pm, tx, mesh=mesh, donate=False,
+                                supervised_weight=1.0)
+        _, m8 = step8(sharded, shard_batch(mesh, batch))
+        np.testing.assert_allclose(
+            float(m1["supervised_loss"]), float(m8["supervised_loss"]),
+            rtol=2e-4,
+        )
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=2e-4
+        )
+
     def test_sharded_matches_single_device(self):
         # Same batch, same init: sharded and unsharded steps agree.
         config = _small_config()
