@@ -184,15 +184,19 @@ def test_pipeline_cli_multi_camera(cli_config, mini_kitti, tmp_path, capsys):  #
         "--max-frames", "2",
         "--queue-size", "8",
         "--save-dir", str(save),
+        "--format", "bin",
     ])
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["frames"] == 2 and stats["streams"] == 2
     files = sorted(os.listdir(save))
     assert files == [
-        "cloud_cam0_000000.npy", "cloud_cam0_000001.npy",
-        "cloud_cam1_000000.npy", "cloud_cam1_000001.npy",
+        "cloud_cam0_000000.bin", "cloud_cam0_000001.bin",
+        "cloud_cam1_000000.bin", "cloud_cam1_000001.bin",
     ]
-    cloud = np.load(save / files[0])
+    # .bin = the KITTI velodyne wire format: our own scan loader reads it
+    from unsupervised_pseuso_lidar_tpu.geometry.oxts import load_velo_scan
+
+    cloud = load_velo_scan(str(save / files[0]))
     assert cloud.ndim == 2 and cloud.shape[1] == 4
 
 

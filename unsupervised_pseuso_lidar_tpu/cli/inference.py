@@ -89,7 +89,14 @@ def main(argv=None):
         cloud = PseudoLiDAR(args.calib).project_PL(depth)
         print(f"pseudo-LiDAR cloud: {cloud.shape[0]} points")
         if args.cloud:
-            np.save(args.cloud, cloud)
+            if args.cloud.endswith(".bin"):
+                # KITTI velodyne format (raw float32 x/y/z/i rows) —
+                # drop-in input for downstream LiDAR 3D detectors
+                np.ascontiguousarray(cloud, dtype=np.float32).tofile(
+                    args.cloud
+                )
+            else:
+                np.save(args.cloud, cloud)
             print(f"wrote {args.cloud}")
     return depth
 

@@ -50,7 +50,12 @@ def main(argv=None):
                         "nodes' latest-wins semantics (stale frames are "
                         "dropped under load), larger for lossless replay")
     parser.add_argument("--save-dir", default=None,
-                        help="save per-frame cloud .npy files here")
+                        help="save per-frame cloud files here")
+    parser.add_argument("--format", default="npy", choices=["npy", "bin"],
+                        help="cloud file format: npy, or bin = raw float32 "
+                        "x/y/z/intensity rows (the KITTI velodyne format "
+                        "downstream 3D detectors consume — the pseudo-LiDAR "
+                        "paper's drop-in use case)")
     parser.add_argument("--max-frames", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -127,11 +132,17 @@ def main(argv=None):
         stats["frames"] += 1
         stats["points_total"] += result.points.shape[0]
         if args.save_dir:
-            name = (
-                f"cloud_cam{result.stream_index}_{result.frame_index:06d}.npy"
-                if multi else f"cloud_{result.frame_index:06d}.npy"
+            stem = (
+                f"cloud_cam{result.stream_index}_{result.frame_index:06d}"
+                if multi else f"cloud_{result.frame_index:06d}"
             )
-            np.save(os.path.join(args.save_dir, name), result.points)
+            path = os.path.join(args.save_dir, f"{stem}.{args.format}")
+            if args.format == "bin":
+                np.ascontiguousarray(
+                    result.points, dtype=np.float32
+                ).tofile(path)
+            else:
+                np.save(path, result.points)
 
     def frames_for(image_dir):
         source = FileImageSource(
