@@ -116,18 +116,40 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # Backend init can fail transiently on the tunneled TPU (observed:
-    # UNAVAILABLE during relay restarts). Retry briefly before giving up
-    # so a blip doesn't zero out a benchmark run.
+    # UNAVAILABLE during relay restarts) or HANG outright when the relay
+    # is down (observed: 2026-08-17 outage — jax.devices() blocks
+    # forever). Retry errors briefly, and bound each attempt with a
+    # watchdog so a dead tunnel fails THIS process in minutes with a
+    # clear message instead of silently eating the caller's timeout.
+    import threading
+
     for attempt in range(3):
-        try:
-            jax.devices()
+        probe_ok = threading.Event()
+        probe_err: list = []
+
+        def probe():
+            try:
+                jax.devices()
+                probe_ok.set()
+            except RuntimeError as e:  # noqa: PERF203
+                probe_err.append(e)
+                probe_ok.set()
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        if not probe_ok.wait(timeout=180):
+            print(
+                "# backend init hung >180s (tunnel down?); aborting bench",
+                file=sys.stderr,
+            )
+            os._exit(2)
+        if not probe_err:
             break
-        except RuntimeError as e:
-            if attempt == 2:
-                raise
-            print(f"# backend init failed ({e}); retrying in 30s",
-                  file=sys.stderr)
-            time.sleep(30)
+        if attempt == 2:
+            raise probe_err[0]
+        print(f"# backend init failed ({probe_err[0]}); retrying in 30s",
+              file=sys.stderr)
+        time.sleep(30)
 
     from unsupervised_pseuso_lidar_tpu.data.synthetic import synthetic_triplet_batch
     from unsupervised_pseuso_lidar_tpu.train.config import Config
