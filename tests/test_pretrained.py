@@ -271,3 +271,129 @@ class TestConfigWiring:
         assert set(out) == set(tstate)
         for k, v in tstate.items():
             np.testing.assert_allclose(out[k], v, atol=1e-5, err_msg=k)
+
+
+class TorchBottleneck(nn.Module):
+    """torchvision Bottleneck (v1.5: stride on the 3x3), state-dict-key
+    compatible."""
+
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU()
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet50(nn.Module):
+    """torchvision.models.resnet50 module tree (state-dict-key
+    compatible); parity oracle for the bottleneck encoder depths the
+    reference accepts (/root/reference/models/depth/resnet_dispnet.py:
+    20-32, resnets[50])."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+        def layer(cin, width, blocks, stride):
+            mods = [TorchBottleneck(cin, width, stride)]
+            mods += [TorchBottleneck(width * 4, width) for _ in range(blocks - 1)]
+            return nn.Sequential(*mods)
+
+        self.layer1 = layer(64, 64, 3, 1)
+        self.layer2 = layer(256, 128, 4, 2)
+        self.layer3 = layer(512, 256, 6, 2)
+        self.layer4 = layer(1024, 512, 3, 2)
+        self.fc = nn.Linear(2048, 1000)
+
+    def features(self, x):
+        feats = []
+        x = self.relu(self.bn1(self.conv1(x)))
+        feats.append(x)
+        x = self.maxpool(x)
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+            feats.append(x)
+        return feats
+
+
+@pytest.mark.slow
+class TestBottleneckEncoderParity:
+    def test_resnet50_feature_maps_match_torch(self):
+        torch.manual_seed(1)
+        tmodel = TorchResNet50()
+        with torch.no_grad():
+            for _, p in tmodel.named_parameters():
+                p.copy_(torch.randn_like(p) * 0.05)
+            for name, b in tmodel.named_buffers():
+                if name.endswith("running_mean"):
+                    b.copy_(torch.randn_like(b) * 0.1)
+                elif name.endswith("running_var"):
+                    b.copy_(torch.rand_like(b) * 0.5 + 0.5)
+        tmodel.eval()
+        state_dict = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+        model = DispResNet(num_layers=50)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), train=False
+        )
+        params, stats = import_pretrained_depth(
+            variables["params"], variables["batch_stats"], state_dict
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.uniform(-1, 1, (2, 64, 96, 3)).astype(np.float32)
+        with torch.no_grad():
+            torch_feats = tmodel.features(
+                torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+            )
+        encoder = ResnetEncoder(num_layers=50)
+        jax_feats = encoder.apply(
+            {
+                "params": params["ResnetEncoder_0"],
+                "batch_stats": stats["ResnetEncoder_0"],
+            },
+            jnp.asarray(x),
+            train=False,
+        )
+        assert jax_feats[-1].shape[-1] == 2048
+        for i, (jf, tf) in enumerate(zip(jax_feats, torch_feats)):
+            tf = np.transpose(tf.numpy(), (0, 2, 3, 1))
+            np.testing.assert_allclose(
+                np.asarray(jf), tf, atol=5e-4, rtol=5e-4,
+                err_msg=f"feature map {i}",
+            )
+
+    def test_resnet50_encoder_param_count(self):
+        # torchvision resnet50 minus the fc head: 25,557,032 - 2,049,000
+        encoder = ResnetEncoder(num_layers=50)
+        variables = encoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), train=False
+        )
+        n = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree.leaves(variables["params"])
+        )
+        assert n == 25_557_032 - 2_049_000 == 23_508_032, n

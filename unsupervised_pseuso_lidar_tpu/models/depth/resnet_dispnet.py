@@ -23,7 +23,14 @@ from unsupervised_pseuso_lidar_tpu.ops.resample import upsample2x_nearest
 RESNET_STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
     34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
 }
+# depths built from Bottleneck blocks (x4 channel expansion) — the same
+# five the reference's torchvision-backed encoder accepts
+# (/root/reference/models/depth/resnet_dispnet.py:20-32)
+BOTTLENECK_DEPTHS = frozenset({50, 101, 152})
 
 
 class BasicBlock(nn.Module):
@@ -58,12 +65,51 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+class Bottleneck(nn.Module):
+    """ResNet bottleneck block (torchvision v1.5 layout: stride on the
+    3x3): 1x1 conv-bn-relu, 3x3 conv-bn-relu, 1x1 (4x width) conv-bn,
+    projected skip, relu. Output channels = 4 * features."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn():
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+            )
+
+        out_ch = 4 * self.features
+        residual = x
+        out = TorchConv(self.features, 1, use_bias=False, dtype=self.dtype)(x)
+        out = nn.relu(bn()(out))
+        out = TorchConv(self.features, 3, stride=self.stride, use_bias=False,
+                        dtype=self.dtype)(out)
+        out = nn.relu(bn()(out))
+        out = TorchConv(out_ch, 1, use_bias=False, dtype=self.dtype)(out)
+        out = bn()(out)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = TorchConv(
+                out_ch, 1, stride=self.stride, use_bias=False,
+                dtype=self.dtype,
+            )(x)
+            residual = bn()(residual)
+        return nn.relu(out + residual)
+
+
 class ResnetEncoder(nn.Module):
     """ResNet feature-pyramid encoder.
 
     Returns the 5 feature maps the depth decoder consumes:
     [relu(bn(conv1)), layer1, layer2, layer3, layer4] with channel widths
-    (64, 64, 128, 256, 512) for resnet18.
+    (64, 64, 128, 256, 512) for resnet18/34 and (64, 256, 512, 1024,
+    2048) for the bottleneck depths 50/101/152 (the decoder adapts — its
+    skip-concat channels come from the actual feature maps).
     Parity: /root/reference/models/depth/resnet_dispnet.py:12-46.
     """
 
@@ -72,6 +118,8 @@ class ResnetEncoder(nn.Module):
 
     @property
     def num_ch_enc(self) -> Sequence[int]:
+        if self.num_layers in BOTTLENECK_DEPTHS:
+            return (64, 256, 512, 1024, 2048)
         return (64, 64, 128, 256, 512)
 
     @nn.compact
@@ -79,6 +127,9 @@ class ResnetEncoder(nn.Module):
         if self.num_layers not in RESNET_STAGE_BLOCKS:
             raise ValueError(f"{self.num_layers} is not a supported resnet depth")
         stage_blocks = RESNET_STAGE_BLOCKS[self.num_layers]
+        block_cls = (
+            Bottleneck if self.num_layers in BOTTLENECK_DEPTHS else BasicBlock
+        )
 
         features = []
         out = TorchConv(64, 7, stride=2, use_bias=False, dtype=self.dtype)(x)
@@ -96,7 +147,7 @@ class ResnetEncoder(nn.Module):
             width = 64 * (2 ** stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                out = BasicBlock(width, stride=stride, dtype=self.dtype)(
+                out = block_cls(width, stride=stride, dtype=self.dtype)(
                     out, train=train
                 )
             features.append(out)

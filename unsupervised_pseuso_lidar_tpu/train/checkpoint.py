@@ -117,25 +117,84 @@ def chw_to_hwc_permutation(channels: int, height: int, width: int) -> np.ndarray
 # ---------------------------------------------------------------------------
 
 
-def _dispresnet_mapping() -> Dict[str, Tuple[str, str]]:
+def _detect_resnet_shape(
+    torch_state: Optional[Dict[str, Any]],
+) -> Tuple[Tuple[int, ...], bool]:
+    """(blocks per layer, is_bottleneck) from a DispResNet-schema torch
+    state dict; defaults to resnet18 when no state is given (the
+    reference's model of record)."""
+    if not torch_state:
+        return (2, 2, 2, 2), False
+    import re
+
+    blocks = [0, 0, 0, 0]
+    bottleneck = False
+    for key in torch_state:
+        match = re.search(r"encoder\.layer([1-4])\.(\d+)\.", key)
+        if match:
+            layer, b = int(match.group(1)), int(match.group(2))
+            blocks[layer - 1] = max(blocks[layer - 1], b + 1)
+            if ".conv3." in key:
+                bottleneck = True
+    if not all(blocks):
+        return (2, 2, 2, 2), False
+    return tuple(blocks), bottleneck
+
+
+def _detect_resnet_shape_from_params(params: Any) -> Tuple[Tuple[int, ...], bool]:
+    """(blocks per layer, is_bottleneck) from DispResNet FLAX params —
+    the export direction, where no torch state exists yet. The total
+    block count + block type identify the depth uniquely."""
+    enc = params.get("ResnetEncoder_0", {}) if hasattr(params, "get") else {}
+    names = list(enc)
+    bottleneck = any(n.startswith("Bottleneck_") for n in names)
+    prefix = "Bottleneck_" if bottleneck else "BasicBlock_"
+    count = sum(1 for n in names if n.startswith(prefix))
+    depth_by_count = {
+        (8, False): 18, (16, False): 34,
+        (16, True): 50, (33, True): 101, (50, True): 152,
+    }
+    from unsupervised_pseuso_lidar_tpu.models.depth.resnet_dispnet import (
+        RESNET_STAGE_BLOCKS,
+    )
+
+    depth = depth_by_count.get((count, bottleneck), 18)
+    return RESNET_STAGE_BLOCKS[depth], bottleneck
+
+
+def _dispresnet_mapping(
+    torch_state: Optional[Dict[str, Any]] = None,
+    shape: Optional[Tuple[Tuple[int, ...], bool]] = None,
+) -> Dict[str, Tuple[str, str]]:
     m: Dict[str, Tuple[str, str]] = {}
     enc = "ResnetEncoder_0"
     m[f"{enc}/TorchConv_0"] = ("encoder.encoder.conv1", "conv")
     m[f"{enc}/BatchNorm_0"] = ("encoder.encoder.bn1", "bn")
-    # resnet18 basic blocks: flax BasicBlock_{0..7} in creation order
+    # resnet blocks: flax {BasicBlock,Bottleneck}_{n} in creation order;
+    # block counts + type inferred from the torch state (resnet18/34
+    # basic, 50/101/152 bottleneck), or passed explicitly (export path)
+    stage_blocks, bottleneck = shape or _detect_resnet_shape(torch_state)
+    block_name = "Bottleneck" if bottleneck else "BasicBlock"
+    n_convs = 3 if bottleneck else 2
+    expansion = 4 if bottleneck else 1
     block = 0
-    for layer, blocks in ((1, 2), (2, 2), (3, 2), (4, 2)):
+    in_ch = 64
+    for layer, blocks in enumerate(stage_blocks, start=1):
+        out_ch = 64 * (2 ** (layer - 1)) * expansion
         for b in range(blocks):
             t = f"encoder.encoder.layer{layer}.{b}"
-            f = f"{enc}/BasicBlock_{block}"
-            m[f"{f}/TorchConv_0"] = (f"{t}.conv1", "conv")
-            m[f"{f}/BatchNorm_0"] = (f"{t}.bn1", "bn")
-            m[f"{f}/TorchConv_1"] = (f"{t}.conv2", "conv")
-            m[f"{f}/BatchNorm_1"] = (f"{t}.bn2", "bn")
-            if layer > 1 and b == 0:  # downsample branch
-                m[f"{f}/TorchConv_2"] = (f"{t}.downsample.0", "conv")
-                m[f"{f}/BatchNorm_2"] = (f"{t}.downsample.1", "bn")
+            f = f"{enc}/{block_name}_{block}"
+            for ci in range(n_convs):
+                m[f"{f}/TorchConv_{ci}"] = (f"{t}.conv{ci + 1}", "conv")
+                m[f"{f}/BatchNorm_{ci}"] = (f"{t}.bn{ci + 1}", "bn")
+            stride = 2 if (layer > 1 and b == 0) else 1
+            if b == 0 and (stride != 1 or in_ch != out_ch):
+                # projection branch (torchvision creates it under the
+                # same stride/width condition our blocks use)
+                m[f"{f}/TorchConv_{n_convs}"] = (f"{t}.downsample.0", "conv")
+                m[f"{f}/BatchNorm_{n_convs}"] = (f"{t}.downsample.1", "bn")
             block += 1
+        in_ch = out_ch
     dec = "DepthDecoder_0"
     # upconv(i, j) -> ModuleList index 2*(4-i)+j ; ConvBlock_m wraps Conv3x3_0
     for i in range(4, -1, -1):
@@ -353,8 +412,12 @@ def import_torch_state(
     """
     if model_name not in MODEL_MAPPINGS:
         raise KeyError(f"No torch mapping for model '{model_name}'")
-    mapping = MODEL_MAPPINGS[model_name]()
     torch_state = _to_numpy_state(torch_state)
+    if model_name == "DispResNet":
+        # block counts + type (basic/bottleneck) vary with num_layers
+        mapping = _dispresnet_mapping(torch_state)
+    else:
+        mapping = MODEL_MAPPINGS[model_name]()
     params, batch_stats = _to_plain_trees(flax_params, flax_batch_stats)
     return _apply_mapping(params, batch_stats, torch_state, mapping)
 
@@ -429,11 +492,13 @@ def _apply_mapping(
 # ---------------------------------------------------------------------------
 
 
-def _encoder_only_mapping() -> Dict[str, Tuple[str, str]]:
+def _encoder_only_mapping(
+    torch_state: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Tuple[str, str]]:
     """DispResNet mapping restricted to the ResNet encoder."""
     return {
         k: v
-        for k, v in _dispresnet_mapping().items()
+        for k, v in _dispresnet_mapping(torch_state).items()
         if k.startswith("ResnetEncoder_0")
     }
 
@@ -486,7 +551,10 @@ def import_pretrained_depth(
     its random init — exactly the reference's training-from-ImageNet setup.
     """
     state, encoder_only = normalize_depth_pretrained_state(torch_state)
-    mapping = _encoder_only_mapping() if encoder_only else _dispresnet_mapping()
+    mapping = (
+        _encoder_only_mapping(state) if encoder_only
+        else _dispresnet_mapping(state)
+    )
     params, batch_stats = _to_plain_trees(flax_params, flax_batch_stats)
     return _apply_mapping(params, batch_stats, state, mapping)
 
@@ -528,9 +596,15 @@ def export_torch_state(
     consumed by reference-style tooling."""
     if model_name not in MODEL_MAPPINGS:
         raise KeyError(f"No torch mapping for model '{model_name}'")
-    mapping = MODEL_MAPPINGS[model_name]()
     params = jax.tree.map(np.asarray, jax.device_get(flax_params))
     batch_stats = jax.tree.map(np.asarray, jax.device_get(flax_batch_stats))
+    if model_name == "DispResNet":
+        # infer depth/block-type from the flax tree (no torch state here)
+        mapping = _dispresnet_mapping(
+            shape=_detect_resnet_shape_from_params(params)
+        )
+    else:
+        mapping = MODEL_MAPPINGS[model_name]()
     out: Dict[str, np.ndarray] = {}
     for flax_path, (torch_prefix, kind) in mapping.items():
         if kind == "conv":
