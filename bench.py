@@ -130,9 +130,9 @@ def main(argv=None):
         def probe():
             try:
                 jax.devices()
-                probe_ok.set()
-            except RuntimeError as e:  # noqa: PERF203
-                probe_err.append(e)
+            except Exception as e:  # noqa: BLE001 — ANY init error must
+                probe_err.append(e)  # surface, not read as a 180s hang
+            finally:
                 probe_ok.set()
 
         t = threading.Thread(target=probe, daemon=True)

@@ -550,6 +550,55 @@ class TestAugmentation:
         np.testing.assert_allclose(np.asarray(k2[:, 1, 2]), 4.0)
         assert np.asarray(flipped).all()
 
+    def test_hflip_pose_mirror_algebra(self):
+        # the 6-vec mirror rule used by augment_batch is the exact
+        # conjugation by M = diag(-1,1,1): pose_matrix(v') = M T M
+        from unsupervised_pseuso_lidar_tpu.geometry.se3 import pose_matrix
+
+        rng = np.random.default_rng(5)
+        v = jnp.asarray(rng.normal(scale=0.4, size=(6, 6)), jnp.float32)
+        mirror_vec = jnp.asarray([1, -1, -1, -1, 1, 1], jnp.float32)
+        m = np.diag([-1.0, 1.0, 1.0, 1.0]).astype(np.float32)
+        got = np.asarray(pose_matrix(v * mirror_vec))
+        want = m @ np.asarray(pose_matrix(v)) @ m
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_hflip_keeps_loss_at_ground_truth(self):
+        # full geometric consistency: flipping images + cx + GT poses
+        # together leaves the photometric error at ground truth unchanged
+        # (flipped warps are mirror images of unflipped warps)
+        from unsupervised_pseuso_lidar_tpu.data.augment import horizontal_flip
+        from unsupervised_pseuso_lidar_tpu.losses.reprojection import (
+            reprojection_loss,
+        )
+
+        raw = synthetic_triplet_batch(2, 32, 64, seed=1, slant_deg=8.0)
+        tgt = jnp.asarray(raw["tgt"])
+        refs = jnp.asarray(raw["ref_imgs"])
+        k = jnp.asarray(raw["intrinsics"])
+        oxts = jnp.asarray(raw["oxts"])
+        depth = jnp.asarray(raw["groundtruth"])[..., None]
+
+        def loss(tgt, refs, k, oxts, depth):
+            return float(reprojection_loss(
+                tgt, [refs[:, 0], refs[:, 1]], [[depth], [depth]],
+                oxts, k, mode="mean",
+            ))
+
+        base = loss(tgt, refs, k, oxts, depth)
+        ftgt, frefs, fk, _ = horizontal_flip(
+            jax.random.PRNGKey(0), tgt, refs, k, prob=1.0
+        )
+        mirror_vec = jnp.asarray([1, -1, -1, -1, 1, 1], jnp.float32)
+        foxts = oxts * mirror_vec
+        fdepth = depth[:, :, ::-1]
+        flipped = loss(ftgt, frefs, fk, foxts, fdepth)
+        assert abs(flipped - base) < 0.02 * base + 1e-4, (base, flipped)
+        # and with UNmirrored poses the loss must blow up (the bug the
+        # mirror rule prevents)
+        wrong = loss(ftgt, frefs, fk, oxts, fdepth)
+        assert wrong > 2.0 * base, (base, wrong)
+
     def test_train_step_with_augmentation_and_uint8(self):
         config = _small_config()
         config.datasets.augmentation.color_jitter = True

@@ -89,14 +89,12 @@ def main(argv=None):
         cloud = PseudoLiDAR(args.calib).project_PL(depth)
         print(f"pseudo-LiDAR cloud: {cloud.shape[0]} points")
         if args.cloud:
-            if args.cloud.endswith(".bin"):
-                # KITTI velodyne format (raw float32 x/y/z/i rows) —
-                # drop-in input for downstream LiDAR 3D detectors
-                np.ascontiguousarray(cloud, dtype=np.float32).tofile(
-                    args.cloud
-                )
-            else:
-                np.save(args.cloud, cloud)
+            from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+                save_cloud,
+            )
+
+            # .bin = KITTI velodyne format, drop-in for 3D detectors
+            save_cloud(args.cloud, cloud)
             print(f"wrote {args.cloud}")
     return depth
 

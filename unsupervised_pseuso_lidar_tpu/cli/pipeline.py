@@ -136,13 +136,14 @@ def main(argv=None):
                 f"cloud_cam{result.stream_index}_{result.frame_index:06d}"
                 if multi else f"cloud_{result.frame_index:06d}"
             )
-            path = os.path.join(args.save_dir, f"{stem}.{args.format}")
-            if args.format == "bin":
-                np.ascontiguousarray(
-                    result.points, dtype=np.float32
-                ).tofile(path)
-            else:
-                np.save(path, result.points)
+            from unsupervised_pseuso_lidar_tpu.pseudolidar.projector import (
+                save_cloud,
+            )
+
+            save_cloud(
+                os.path.join(args.save_dir, f"{stem}.{args.format}"),
+                result.points,
+            )
 
     def frames_for(image_dir):
         source = FileImageSource(

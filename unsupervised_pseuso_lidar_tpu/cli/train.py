@@ -96,20 +96,26 @@ def main(argv=None):
     with profile_ctx:
         trainer.fit(
             make_train_iter=lambda epoch: prefetch_to_device(
-                # train batches never carry GT (the trainer drops it);
-                # skipping it here avoids decoding / rasterizing GT that
-                # is thrown away, sample by sample
-                dataset.batches(train_idx, batch_size, workers,
-                                use_processes=procs,
-                                with_groundtruth=False),
+                # train batches carry GT only when the supervised term
+                # consumes it (action.supervised_weight); otherwise
+                # skipping it avoids decoding / rasterizing GT that is
+                # thrown away, sample by sample
+                dataset.batches(
+                    train_idx, batch_size, workers,
+                    use_processes=procs,
+                    with_groundtruth=bool(config.action.supervised_weight),
+                ),
                 device_put=device_put,
             ),
             make_val_iter=lambda: dataset.batches(val_idx, batch_size, workers),
         )
     if args.op_breakdown:
         _op_breakdown_step(
-            trainer, next(iter(dataset.batches(train_idx, batch_size, workers,
-                                               with_groundtruth=False)))
+            trainer,
+            next(iter(dataset.batches(
+                train_idx, batch_size, workers,
+                with_groundtruth=bool(config.action.supervised_weight),
+            ))),
         )
     return trainer
 
@@ -118,7 +124,12 @@ def _op_breakdown_step(trainer, batch) -> None:
     """Print the per-op-family device time of one jitted train step."""
     from unsupervised_pseuso_lidar_tpu.utils.trace import op_breakdown
 
-    device_batch = trainer._device_batch(batch)
+    # keep GT when the supervised term is active so the profiled program
+    # IS the trained program (not an unsupervised-only retrace)
+    device_batch = trainer._device_batch(
+        batch,
+        keep_groundtruth=bool(trainer.config.action.supervised_weight),
+    )
 
     def run_step():  # rebind state: the jitted step donates its input state
         trainer.state, metrics = trainer.train_step(trainer.state, device_batch)

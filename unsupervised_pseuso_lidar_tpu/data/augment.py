@@ -109,6 +109,19 @@ def augment_batch(
             out["groundtruth"] = jnp.where(
                 flipped[:, None, None], gt[:, :, ::-1], gt
             )
+        if "oxts" in batch:
+            # GT relative poses conjugate by the mirror M = diag(-1,1,1):
+            # axis-angle v -> (vx,-vy,-vz), translation t -> (-tx,ty,tz)
+            # (tested: pose_matrix(v') == M @ pose_matrix(v) @ M). Without
+            # this, semi_sup_pose / pose-eval would warp mirrored images
+            # with geometrically wrong poses on ~half the samples.
+            mirror = jnp.asarray([1.0, -1.0, -1.0, -1.0, 1.0, 1.0],
+                                 dtype=batch["oxts"].dtype)
+            out["oxts"] = jnp.where(
+                flipped[:, None, None],
+                batch["oxts"] * mirror,
+                batch["oxts"],
+            )
     if jitter:
         rng, k = jax.random.split(rng)
         tgt, refs = color_jitter(k, tgt, refs)

@@ -68,10 +68,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch pytree with batch-dim sharding."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
-    )
+    """Device-put a host batch pytree with batch-dim sharding.
+
+    Dict batches get key-aware treatment: "groundtruth" is [B, H, W]
+    (rank 3, H at axis 1 — the generic ndim-3 rule would pin the batch
+    axis), and leaving it H-replicated under a spatial mesh forces GSPMD
+    to all-gather a full-res tensor in the supervised term every step."""
+
+    def put(key, x):
+        if (
+            key == "groundtruth"
+            and np.ndim(x) == 3
+            and _spatial_axis(mesh)
+        ):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", "spatial", None))
+            )
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree.map(lambda x: put(None, x), batch)
 
 
 def shard_train_state(mesh: Mesh, state: Any) -> Any:

@@ -124,3 +124,14 @@ class PseudoLiDAR:
         points = np.asarray(points[0])
         valid = np.asarray(valid[0])
         return points[valid]
+
+
+def save_cloud(path: str, points: np.ndarray) -> None:
+    """Write an [N, 4] cloud; format by extension. `.bin` = raw float32
+    x/y/z/intensity rows (the KITTI velodyne wire format downstream 3D
+    detectors consume — read back with geometry/oxts.load_velo_scan),
+    anything else = numpy .npy."""
+    if path.endswith(".bin"):
+        np.ascontiguousarray(points, dtype=np.float32).tofile(path)
+    else:
+        np.save(path, points)

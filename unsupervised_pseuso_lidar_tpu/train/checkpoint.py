@@ -158,7 +158,14 @@ def _detect_resnet_shape_from_params(params: Any) -> Tuple[Tuple[int, ...], bool
         RESNET_STAGE_BLOCKS,
     )
 
-    depth = depth_by_count.get((count, bottleneck), 18)
+    if (count, bottleneck) not in depth_by_count:
+        # a partial/unknown tree must fail loudly — defaulting would
+        # export a truncated state dict that breaks far from the cause
+        raise ValueError(
+            f"Unrecognized DispResNet encoder: {count} "
+            f"{'bottleneck' if bottleneck else 'basic'} blocks"
+        )
+    depth = depth_by_count[(count, bottleneck)]
     return RESNET_STAGE_BLOCKS[depth], bottleneck
 
 
