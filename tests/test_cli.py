@@ -175,6 +175,15 @@ def test_pipeline_cli_multi_camera(cli_config, mini_kitti, tmp_path, capsys):  #
         main(["--images", img_dir, "--calib", calib,
               "--checkpoint", str(tmp_path / "ckpt")])
 
+    # @file configs in the reference's one-'--flag value'-per-line layout
+    # (mock_publisher.py:23-24, config_test.txt) parse identically
+    argfile = tmp_path / "pipeline_args.txt"
+    argfile.write_text(
+        f"--images {img_dir}\n--calib {calib}\n--checkpoint bogus\n"
+    )
+    with pytest.raises(SystemExit, match="need --config"):
+        main([f"@{argfile}"])
+
     save = tmp_path / "clouds"
     main([
         "--images", img_dir, img_dir,

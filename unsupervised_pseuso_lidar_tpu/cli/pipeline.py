@@ -21,8 +21,22 @@ import os
 import time
 
 
+class _AtFileParser(argparse.ArgumentParser):
+    """@file configs in the reference's layout: '--flag value' per line
+    (pseudo-lidar/config_test.txt) — argparse's default fromfile reader
+    treats a whole line as ONE token, so split on whitespace."""
+
+    def convert_arg_line_to_args(self, arg_line):
+        return arg_line.split()
+
+
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="camera -> depth -> pseudo-LiDAR")
+    # fromfile_prefix_chars: the reference's ROS nodes take @file configs
+    # (mock_publisher.py:23-24, config_test.txt) — same convention here
+    parser = _AtFileParser(
+        description="camera -> depth -> pseudo-LiDAR",
+        fromfile_prefix_chars="@",
+    )
     parser.add_argument("--images", required=True, nargs="+",
                         help="directory of PNG frames; pass several "
                         "directories for a multi-camera rig (each step "
