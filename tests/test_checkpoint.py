@@ -39,6 +39,7 @@ def _randomize(tree, seed=0):
     [
         ("DispResNet", False, (1, 64, 96, 3)),
         ("DispNetS", False, (1, 128, 128, 3)),
+        ("StnDispNet", False, (1, 64, 96, 3)),
         ("PoseNet", True, (1, 64, 96, 3)),
         ("PoseFc", True, (1, 128, 128, 3)),
     ],
@@ -129,6 +130,141 @@ def test_posefc_import_preserves_function():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
+def test_stn_dispnet_roundtrip_with_stn_branch():
+    """StnDispNet with the STN branch enabled: export emits the reference's
+    localization.* / fc_loc.* keys (stn_depth_net.py:58-77), the CHW<->HWC
+    flatten permutation on fc_loc.0 is self-inverse, and the reimported
+    model computes the SAME function."""
+    model = build_model("StnDispNet", use_stn=True)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = _randomize(variables["params"], seed=7)
+    stats = variables.get("batch_stats", {})
+
+    torch_state = export_torch_state(params, stats, "StnDispNet")
+    for key in (
+        "localization.0.0.weight", "localization.4.4.weight",
+        "fc_loc.0.weight", "fc_loc.6.bias",
+        "conv1.0.weight", "conv4.4.bias",
+        "upconv_1.0.weight", "upconv_4.1.weight",
+        "predict.0.weight",
+    ):
+        assert key in torch_state, key
+    # every flax leaf covered (GroupNorm has no buffers)
+    n_leaves = len(jax.tree.leaves(params))
+    assert len(torch_state) == n_leaves, (len(torch_state), n_leaves)
+    # fc_loc.0 is (out, C*H*W) in torch layout
+    assert torch_state["fc_loc.0.weight"].shape[0] == 1280
+
+    params2, _ = import_torch_state(params, stats, torch_state, "StnDispNet")
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params2),
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-6, err_msg=str(p1))
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)), jnp.float32)
+    out1 = model.apply({"params": params}, img, train=False)
+    out2 = model.apply({"params": params2}, img, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-6
+    )
+
+
+def test_reference_checkpoint_export_roundtrip(tmp_path):
+    """export_reference_checkpoint writes the exact dict schema the
+    reference saves/resumes ({epoch, dpth_mdl_state_dict,
+    pose_mdl_state_dict, optimizer_state_dict, loss, valid_acc},
+    /root/reference/trainer.py:129-152): torch.load-able, BN buffers
+    present for a strict torch load, tensors reimport identically, and
+    the optimizer state loads into a real torch.optim.Adam."""
+    import torch
+
+    from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+        count_reference_params,
+        export_reference_checkpoint,
+    )
+
+    _, dparams, dstats = _init("DispResNet")
+    _, pparams, pstats = _init("PoseNet", pose=True)
+    dparams = _randomize(dparams, seed=3)
+    dstats = jax.tree.map(
+        lambda x: np.abs(np.asarray(x)) + 0.1, _randomize(dstats, seed=4)
+    )
+    pparams = _randomize(pparams, seed=5)
+    params = {"depth": dparams, "pose": pparams}
+    stats = {"depth": dstats, "pose": pstats}
+
+    path = str(tmp_path / "sfm.pth")
+    export_reference_checkpoint(
+        params, stats, "DispResNet", "PoseNet", path, epoch=7, lr=2e-4
+    )
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {
+        "epoch", "dpth_mdl_state_dict", "pose_mdl_state_dict",
+        "optimizer_state_dict", "loss", "valid_acc",
+    }
+    assert ckpt["epoch"] == 7
+    depth_sd = ckpt["dpth_mdl_state_dict"]
+    # BN buffers a strict torch load_state_dict requires
+    assert "encoder.encoder.bn1.num_batches_tracked" in depth_sd
+    assert depth_sd["encoder.encoder.bn1.num_batches_tracked"].dtype == torch.int64
+    assert all(isinstance(v, torch.Tensor) for v in depth_sd.values())
+
+    # tensors reimport identically through the existing import path
+    dparams2, dstats2 = import_torch_state(
+        dparams, dstats, depth_sd, "DispResNet"
+    )
+    for l1, l2 in zip(jax.tree.leaves(dparams), jax.tree.leaves(dparams2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+    for l1, l2 in zip(jax.tree.leaves(dstats), jax.tree.leaves(dstats2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+    pparams2, _ = import_torch_state(
+        pparams, pstats, ckpt["pose_mdl_state_dict"], "PoseNet"
+    )
+    for l1, l2 in zip(jax.tree.leaves(pparams), jax.tree.leaves(pparams2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    # optimizer state: single group over depth+pose learnable tensors
+    # (the reference chains both nets into one Adam, trainer.py:70-75)
+    opt_sd = ckpt["optimizer_state_dict"]
+    n = len(opt_sd["param_groups"][0]["params"])
+    assert n == count_reference_params(depth_sd) + count_reference_params(
+        ckpt["pose_mdl_state_dict"]
+    )
+    tparams = [torch.nn.Parameter(torch.zeros(1)) for _ in range(n)]
+    opt = torch.optim.Adam(tparams, lr=1e-3)
+    opt.load_state_dict(opt_sd)  # must not raise
+    assert opt.param_groups[0]["lr"] == 2e-4
+
+
+@pytest.mark.slow
+def test_bts_serving_checkpoint(tmp_path):
+    """export_bts_serving_checkpoint writes the {"model": module.*} blob
+    the reference ROS node unpickles (DepthPipeline.py:121-127)."""
+    import torch
+
+    from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+        export_bts_serving_checkpoint,
+    )
+
+    _, params, stats = _init("BtsModel", (1, 32, 32, 3))
+    path = str(tmp_path / "model_weights")
+    export_bts_serving_checkpoint(params, stats, path)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"model"}
+    assert all(k.startswith("module.") for k in ckpt["model"])
+    assert "module.encoder.base_model.conv0.weight" in ckpt["model"]
+    # round-trips through the importer (which strips the prefix)
+    params2, _ = import_torch_state(params, stats, ckpt["model"], "BtsModel")
+    for l1, l2 in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
 def test_orbax_save_restore(tmp_path):
     from unsupervised_pseuso_lidar_tpu.train.trainer import create_train_state
     from unsupervised_pseuso_lidar_tpu.train.config import Config
@@ -159,9 +295,11 @@ def test_bts_torch_roundtrip_and_function():
     stats = jax.tree.map(lambda x: np.abs(np.asarray(x)) + 0.1, _randomize(stats, seed=6))
 
     torch_state = export_torch_state(params, stats, "BtsModel")
-    # every flax param leaf must be covered by the mapping
+    # every flax param leaf must be covered by the mapping (exported BN
+    # num_batches_tracked buffers have no flax counterpart)
     n_leaves = len(jax.tree.leaves(params)) + len(jax.tree.leaves(stats))
-    assert len(torch_state) == n_leaves, (len(torch_state), n_leaves)
+    n_buffers = sum(1 for k in torch_state if k.endswith("num_batches_tracked"))
+    assert len(torch_state) == n_leaves + n_buffers, (len(torch_state), n_leaves)
     for key in (
         "encoder.base_model.conv0.weight",
         "encoder.base_model.denseblock1.denselayer1.conv1.weight",

@@ -253,6 +253,26 @@ class TestExportCli:
         assert os.path.exists(out) and os.path.exists(out + ".json")
         assert [str(a.shape) for a in exported.in_avals] == ["(2, 64, 96, 3)"]
 
+    def test_cli_export_torch_format(self, tmp_path):
+        # --out *.pth infers --format torch: a reference-loadable
+        # training checkpoint (trainer.py:129-152 schema), not StableHLO
+        import torch
+
+        from unsupervised_pseuso_lidar_tpu.cli.export import main
+
+        out = str(tmp_path / "sfm.pth")
+        ret = main([
+            "--config", "configs/test_config.yaml",
+            "--out", out,
+            "--epoch", "3",
+        ])
+        assert ret is None and os.path.exists(out)
+        ckpt = torch.load(out, map_location="cpu", weights_only=False)
+        assert ckpt["epoch"] == 3
+        assert "encoder.encoder.conv1.weight" in ckpt["dpth_mdl_state_dict"]
+        assert "conv1.0.weight" in ckpt["pose_mdl_state_dict"]
+        assert ckpt["optimizer_state_dict"]["param_groups"][0]["params"]
+
     def test_cli_rejects_empty_checkpoint(self, tmp_path):
         # an explicit --checkpoint that restores nothing must FAIL, not
         # silently export untrained weights labeled with that provenance

@@ -12,6 +12,14 @@ Usage:
       --config configs/basic_config.yaml --out artifacts/depth.stablehlo \
       [--checkpoint pretrained/model | --torch-checkpoint sfm.pth] \
       [--batch 4 | --batch-poly] [--calib KITTI/2011_09_26] [--verify]
+
+`--format torch` (or an `--out` ending in .pth) instead writes a
+reference-loadable torch training checkpoint ({epoch, dpth_mdl_state_dict,
+pose_mdl_state_dict, optimizer_state_dict, loss, valid_acc},
+/root/reference/trainer.py:129-152) so weights trained here drop into
+reference-style torch tooling; `--format bts-serving` writes the
+`{"model": module.*}` blob the reference's ROS node unpickles
+(/root/reference/pseudo-lidar/DepthPipeline.py:121-127).
 """
 
 from __future__ import annotations
@@ -46,7 +54,14 @@ def main(argv=None):
     parser.add_argument("--verify", action="store_true",
                         help="reload the artifact and check it matches the "
                         "live model on a random input (current backend)")
+    parser.add_argument("--format", default=None,
+                        choices=["stablehlo", "torch", "bts-serving"],
+                        help="artifact format (default: stablehlo, or torch "
+                        "when --out ends in .pth)")
+    parser.add_argument("--epoch", type=int, default=0,
+                        help="epoch tag recorded in a torch-format checkpoint")
     args = parser.parse_args(argv)
+    fmt = args.format or ("torch" if args.out.endswith(".pth") else "stablehlo")
 
     import jax
     import jax.numpy as jnp
@@ -76,6 +91,40 @@ def main(argv=None):
         torch_checkpoint=args.torch_checkpoint, checkpoint=args.checkpoint,
     )
 
+    import os
+
+    if fmt == "torch":
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            export_reference_checkpoint,
+        )
+
+        export_reference_checkpoint(
+            params, batch_stats,
+            config.model.depth.name, config.model.pose.name, args.out,
+            epoch=args.epoch, lr=config.action.optimizer.depth_lr,
+        )
+        print(
+            f"wrote {args.out} ({os.path.getsize(args.out)} bytes, "
+            f"reference .pth schema, weights={weight_source})"
+        )
+        return None
+    if fmt == "bts-serving":
+        if config.model.depth.name != "BtsModel":
+            parser.error("--format bts-serving requires model.depth.name: "
+                         f"BtsModel (config has {config.model.depth.name})")
+        from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+            export_bts_serving_checkpoint,
+        )
+
+        export_bts_serving_checkpoint(
+            params["depth"], batch_stats["depth"], args.out
+        )
+        print(
+            f"wrote {args.out} ({os.path.getsize(args.out)} bytes, "
+            f"BTS serving blob, weights={weight_source})"
+        )
+        return None
+
     height, width = config.image_shape
     height = args.height or height
     width = args.width or width
@@ -95,8 +144,6 @@ def main(argv=None):
         fn = make_depth_cloud_fn(
             fn, PseudoLiDAR(args.calib, sparsity=args.sparsity)
         )
-
-    import os
 
     example = jnp.zeros((max(args.batch, 1), height, width, 3), jnp.float32)
     spec = batch_poly_spec(example) if args.batch_poly else concrete_spec(example)

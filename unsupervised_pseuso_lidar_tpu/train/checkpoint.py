@@ -11,6 +11,9 @@ The torch mapping covers the model zoo's reference state-dict schemas:
                  decoder.decoder.<ModuleList index>  (resnet_dispnet.py)
   * DispNetS:    conv{1-7}.{0,2,3} / upconv{1-7}.0 / iconv{1-7}.0 /
                  predict_disp{1-4}.0  (disp_net.py)
+  * StnDispNet:  conv{1-4}.{0,1,3,4} / upconv_{1-4}.{0,1} / predict.0
+                 (+ localization/fc_loc when the STN branch is enabled)
+                 (stn_depth_net.py)
   * PoseNet/PoseFc: conv{1-7}.0 + pose_pred (+ fc_loc.{0,2,4})
                  (pose_net.py, pose_fc.py)
 
@@ -257,9 +260,49 @@ def _pose_trunk_mapping() -> Dict[str, Tuple[str, str]]:
 
 def _posefc_mapping() -> Dict[str, Tuple[str, str]]:
     m = _pose_trunk_mapping()
-    m["Dense_0"] = ("fc_loc.0", "linear_chw")  # needs flatten permutation
+    # linear_chw:<C> = flatten-permuted linear (torch flattened CHW with C
+    # channels; we flatten HWC). The conv feeding this FC has 12 output
+    # channels (pose_fc.py:36,80).
+    m["Dense_0"] = ("fc_loc.0", "linear_chw:12")
     m["Dense_1"] = ("fc_loc.2", "linear")
     m["Dense_2"] = ("fc_loc.4", "linear")
+    return m
+
+
+def _stndispnet_mapping(use_stn: bool = False) -> Dict[str, Tuple[str, str]]:
+    """StnDispNet <-> reference stn_depth_net.py state dict
+    (/root/reference/models/depth/stn_depth_net.py:41-77): conv{1-4} =
+    Sequential(Conv, GroupNorm, ReLU, Conv, GroupNorm, ReLU), upconv_{1-4}
+    = Sequential(ConvTranspose, GroupNorm, ReLU), predict.0, plus (when
+    the STN branch holds parameters) localization.{0-4}.* and
+    fc_loc.{0,2,4,6}. Flax scope order follows models/depth/stn_dispnet.py
+    __call__: with use_stn the 5 localization blocks and 4 Dense layers
+    are created before the encoder blocks."""
+    m: Dict[str, Tuple[str, str]] = {}
+
+    def gn_block(f: str, t: str) -> None:
+        m[f"{f}/TorchConv_0"] = (f"{t}.0", "conv")
+        m[f"{f}/GroupNorm_0"] = (f"{t}.1", "gn")
+        m[f"{f}/TorchConv_1"] = (f"{t}.3", "conv")
+        m[f"{f}/GroupNorm_1"] = (f"{t}.4", "gn")
+
+    enc_base = 0
+    if use_stn:
+        for j in range(5):
+            gn_block(f"DownsampleConvGN_{j}", f"localization.{j}")
+        # reference flattens CHW from a 32-channel map (view(-1, 32*12*40),
+        # stn_depth_net.py:83); we flatten HWC
+        m["Dense_0"] = ("fc_loc.0", "linear_chw:32")
+        m["Dense_1"] = ("fc_loc.2", "linear")
+        m["Dense_2"] = ("fc_loc.4", "linear")
+        m["Dense_3"] = ("fc_loc.6", "linear")
+        enc_base = 5
+    for i in range(4):
+        gn_block(f"DownsampleConvGN_{enc_base + i}", f"conv{i + 1}")
+    for i in range(4):
+        m[f"UpconvGN_{i}/TorchConvTranspose_0"] = (f"upconv_{i + 1}.0", "convT")
+        m[f"UpconvGN_{i}/GroupNorm_0"] = (f"upconv_{i + 1}.1", "gn")
+    m["TorchConv_0"] = ("predict.0", "conv")
     return m
 
 
@@ -359,6 +402,7 @@ def _bts_mapping() -> Dict[str, Tuple[str, str]]:
 MODEL_MAPPINGS = {
     "DispResNet": _dispresnet_mapping,
     "DispNetS": _dispnets_mapping,
+    "StnDispNet": _stndispnet_mapping,
     "PoseNet": _pose_trunk_mapping,
     "PoseFc": _posefc_mapping,
     "BtsModel": _bts_mapping,
@@ -423,6 +467,8 @@ def import_torch_state(
     if model_name == "DispResNet":
         # block counts + type (basic/bottleneck) vary with num_layers
         mapping = _dispresnet_mapping(torch_state)
+    elif model_name == "StnDispNet":
+        mapping = _stndispnet_mapping(use_stn="fc_loc.0.weight" in torch_state)
     else:
         mapping = MODEL_MAPPINGS[model_name]()
     params, batch_stats = _to_plain_trees(flax_params, flax_batch_stats)
@@ -456,21 +502,27 @@ def _apply_mapping(
                 leaf["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
                     leaf["bias"].dtype
                 )
-        elif kind in ("linear", "linear_chw"):
+        elif kind.startswith("linear"):
             leaf = _get_path(params, flax_path)
             weight = _t2f_linear(torch_state[f"{torch_prefix}.weight"])
-            if kind == "linear_chw":
-                # torch flattened CHW; we flatten HWC. The conv feeding this
-                # FC has 12 output channels (pose_fc.py:36,80).
-                channels = 12
+            if kind.startswith("linear_chw"):
+                # torch flattened CHW with <C> channels; we flatten HWC.
+                # The permutation only needs the (C, H*W) split — it is
+                # independent of the H/W factorization.
+                channels = int(kind.split(":", 1)[1])
                 hw = weight.shape[0] // channels
-                # reference trains at 3x10 (pose_fc.py:40); infer H from
-                # aspect if possible, else assume H*W factorization is
-                # irrelevant because permutation only needs (C, H*W) split.
-                height, width = 1, hw  # permutation independent of H/W split
-                perm = chw_to_hwc_permutation(channels, height, width)
+                perm = chw_to_hwc_permutation(channels, 1, hw)
                 weight = weight[perm]
             leaf["kernel"] = weight.astype(leaf["kernel"].dtype)
+            leaf["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
+                leaf["bias"].dtype
+            )
+        elif kind == "gn":
+            # GroupNorm: affine params only, no running stats
+            leaf = _get_path(params, flax_path)
+            leaf["scale"] = torch_state[f"{torch_prefix}.weight"].astype(
+                leaf["scale"].dtype
+            )
             leaf["bias"] = torch_state[f"{torch_prefix}.bias"].astype(
                 leaf["bias"].dtype
             )
@@ -610,6 +662,8 @@ def export_torch_state(
         mapping = _dispresnet_mapping(
             shape=_detect_resnet_shape_from_params(params)
         )
+    elif model_name == "StnDispNet":
+        mapping = _stndispnet_mapping(use_stn="Dense_0" in params)
     else:
         mapping = MODEL_MAPPINGS[model_name]()
     out: Dict[str, np.ndarray] = {}
@@ -625,16 +679,20 @@ def export_torch_state(
             out[f"{torch_prefix}.weight"] = _f2t_convT(np.asarray(leaf["kernel"]))
             if "bias" in leaf:
                 out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
-        elif kind in ("linear", "linear_chw"):
+        elif kind.startswith("linear"):
             leaf = _get_path(params, flax_path)
             weight = np.asarray(leaf["kernel"])
-            if kind == "linear_chw":
-                channels = 12
+            if kind.startswith("linear_chw"):
+                channels = int(kind.split(":", 1)[1])
                 hw = weight.shape[0] // channels
                 perm = chw_to_hwc_permutation(channels, 1, hw)
                 inv = np.argsort(perm)
                 weight = weight[inv]
             out[f"{torch_prefix}.weight"] = _f2t_linear(weight)
+            out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
+        elif kind == "gn":
+            leaf = _get_path(params, flax_path)
+            out[f"{torch_prefix}.weight"] = np.asarray(leaf["scale"])
             out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
         elif kind == "bn":
             leaf = _get_path(params, flax_path)
@@ -643,7 +701,108 @@ def export_torch_state(
             out[f"{torch_prefix}.bias"] = np.asarray(leaf["bias"])
             out[f"{torch_prefix}.running_mean"] = np.asarray(stats["mean"])
             out[f"{torch_prefix}.running_var"] = np.asarray(stats["var"])
+            # torch BatchNorm2d registers this buffer whenever
+            # track_running_stats=True; a strict load_state_dict on the
+            # torch side fails without it
+            out[f"{torch_prefix}.num_batches_tracked"] = np.array(0, np.int64)
     return out
+
+
+def count_reference_params(torch_state: Dict[str, Any]) -> int:
+    """Number of LEARNABLE tensors in a reference-schema state dict — what
+    torch `model.parameters()` yields: .weight/.bias entries, excluding BN
+    buffers (running stats, num_batches_tracked)."""
+    return sum(1 for k in torch_state if k.endswith((".weight", ".bias")))
+
+
+def fresh_adam_state_dict(n_params: int, lr: float) -> Dict[str, Any]:
+    """A torch.optim.Adam state dict for a FRESH optimizer over `n_params`
+    tensors in one param group — the reference's optimizer layout (a single
+    Adam over depth.parameters() + pose.parameters(),
+    /root/reference/trainer.py:70-75). Its load_chkpnt
+    (/root/reference/trainer.py:144-152) can load this and resume with
+    reset moments. Optax Adam moments are NOT translated because torch
+    keys them by parameters() traversal order, which this framework does
+    not replicate; a reset-moment resume is the honest equivalent."""
+    return {
+        "state": {},
+        "param_groups": [
+            {
+                "lr": float(lr),
+                "betas": (0.9, 0.999),
+                "eps": 1e-8,
+                "weight_decay": 0,
+                "amsgrad": False,
+                "params": list(range(n_params)),
+            }
+        ],
+    }
+
+
+def _to_torch_tensors(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    import torch
+
+    return {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()
+    }
+
+
+def export_reference_checkpoint(
+    params: Any,
+    batch_stats: Any,
+    depth_name: str,
+    pose_name: str,
+    path: str,
+    *,
+    epoch: int = 0,
+    loss: Any = None,
+    valid_acc: float = 0.0,
+    lr: float = 1e-4,
+) -> Dict[str, Any]:
+    """Write a reference-loadable `.pth` training checkpoint — the exact
+    dict schema {epoch, dpth_mdl_state_dict, pose_mdl_state_dict,
+    optimizer_state_dict, loss, valid_acc} the reference saves and resumes
+    from (/root/reference/trainer.py:129-152) — from flax train-state
+    variables. `params`/`batch_stats` are the train-state trees holding
+    "depth" and "pose" subtrees. Returns the checkpoint dict (torch
+    tensors), after torch.save-ing it to `path`."""
+    import torch
+
+    depth_sd = export_torch_state(
+        params["depth"], batch_stats.get("depth", {}), depth_name
+    )
+    pose_sd = export_torch_state(
+        params["pose"], batch_stats.get("pose", {}), pose_name
+    )
+    n_params = count_reference_params(depth_sd) + count_reference_params(pose_sd)
+    checkpoint = {
+        "epoch": int(epoch),
+        "dpth_mdl_state_dict": _to_torch_tensors(depth_sd),
+        "pose_mdl_state_dict": _to_torch_tensors(pose_sd),
+        "optimizer_state_dict": fresh_adam_state_dict(n_params, lr),
+        "loss": loss,
+        "valid_acc": float(valid_acc),
+    }
+    torch.save(checkpoint, path)
+    return checkpoint
+
+
+def export_bts_serving_checkpoint(
+    params: Any, batch_stats: Any, path: str
+) -> Dict[str, Any]:
+    """Write a `{"model": <DataParallel-prefixed BTS state dict>}` blob —
+    the format the reference's ROS serving node unpickles
+    (/root/reference/pseudo-lidar/DepthPipeline.py:121-127: it wraps the
+    net in nn.DataParallel purely so checkpoint keys carry the `module.`
+    prefix, then loads checkpoint['model'])."""
+    import torch
+
+    state = export_torch_state(params, batch_stats, "BtsModel")
+    checkpoint = {
+        "model": {f"module.{k}": v for k, v in _to_torch_tensors(state).items()}
+    }
+    torch.save(checkpoint, path)
+    return checkpoint
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
