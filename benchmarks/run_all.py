@@ -67,11 +67,34 @@ def main():
     )
 
     height, width = args.height, args.width
-    report = {
-        "device": jax.devices()[0].device_kind,
-        "backend": jax.default_backend(),
-        "image": f"{width}x{height}",
-    }
+
+    class FlushingReport(dict):
+        """Persists to REPORT.json on every row assignment, so a crash
+        (or a timeout kill) mid-matrix keeps all completed rows — a
+        ~30-min TPU run must not be lossable to its last row."""
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "REPORT.json"
+        )
+
+        def __setitem__(self, key, value):
+            super().__setitem__(key, value)
+            with open(self.path, "w") as f:
+                json.dump(self, f, indent=2)
+
+    # seed with prior rows so a partial refresh updates rows in place
+    # instead of erasing the rest of the matrix
+    prior = {}
+    if os.path.exists(FlushingReport.path):
+        try:
+            with open(FlushingReport.path) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prior = {}
+    report = FlushingReport(prior)
+    report["device"] = jax.devices()[0].device_kind
+    report["backend"] = jax.default_backend()
+    report["image"] = f"{width}x{height}"
 
     config = Config.from_dict(
         {
@@ -265,33 +288,39 @@ def main():
     # row exists to show the fused Pallas warp's internal lane padding
     # (ops/pallas/warp._prepare) keeps the kernel (and its 384-column
     # window at the padded 1280 lanes) on the non-aligned shape.
-    config_raw = Config.from_dict(
-        {
-            "model": {
-                "name": "benchmatrix",
-                "depth": {"name": "DispResNet"},
-                "pose": {"name": "PoseNet"},
-            },
-            "datasets": {
-                "augmentation": {"image_width": 1242, "image_height": 375},
-            },
-            "action": {"batch_size": 4, "precision": "bf16"},
+    try:
+        config_raw = Config.from_dict(
+            {
+                "model": {
+                    "name": "benchmatrix",
+                    "depth": {"name": "DispResNet"},
+                    "pose": {"name": "PoseNet"},
+                },
+                "datasets": {
+                    "augmentation": {"image_width": 1242, "image_height": 375},
+                },
+                "action": {"batch_size": 4, "precision": "bf16"},
+            }
+        )
+        state_raw, depth_raw, pose_raw, tx_raw = create_train_state(
+            config_raw, jax.random.PRNGKey(0), 1000, dtype=jnp.bfloat16
+        )
+        raw_raw = synthetic_triplet_batch(4, 375, 1242, seed=4)
+        batch_raw = {
+            k: jnp.asarray(v) for k, v in raw_raw.items() if k != "groundtruth"
         }
-    )
-    state_raw, depth_raw, pose_raw, tx_raw = create_train_state(
-        config_raw, jax.random.PRNGKey(0), 1000, dtype=jnp.bfloat16
-    )
-    raw_raw = synthetic_triplet_batch(4, 375, 1242, seed=4)
-    batch_raw = {
-        k: jnp.asarray(v) for k, v in raw_raw.items() if k != "groundtruth"
-    }
-    step_raw = make_train_step(
-        depth_raw, pose_raw, tx_raw, donate=False, warp_impl="pallas"
-    )
-    dt = timeit(lambda: step_raw(state_raw, batch_raw), max(args.steps // 2, 5))
-    report["train_step_b4_1242x375_bf16_ms"] = round(dt * 1e3, 3)
-    report["train_step_b4_1242x375_bf16_fps"] = round(4.0 / dt, 2)
-    del state_raw, batch_raw
+        step_raw = make_train_step(
+            depth_raw, pose_raw, tx_raw, donate=False, warp_impl="pallas"
+        )
+        dt = timeit(
+            lambda: step_raw(state_raw, batch_raw), max(args.steps // 2, 5)
+        )
+        report["train_step_b4_1242x375_bf16_ms"] = round(dt * 1e3, 3)
+        report["train_step_b4_1242x375_bf16_fps"] = round(4.0 / dt, 2)
+        del state_raw, batch_raw
+    except Exception as exc:  # keep the rest of the matrix on a row failure
+        print(f"1242x375 row failed: {exc}")
+        report["train_step_b4_1242x375_bf16_error"] = str(exc)[:200]
 
     # 5. streaming epoch: loader -> prefetch -> train (host pipeline incl.)
     # Production convention: plain device_put prefetch (the tunnel moves

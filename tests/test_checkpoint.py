@@ -174,6 +174,46 @@ def test_stn_dispnet_roundtrip_with_stn_branch():
     )
 
 
+def test_stn_dispnet_dead_branch_interop():
+    """The reference registers the STN modules unconditionally while its
+    forward never calls them (stn_depth_net.py:58-77,107-108), so real
+    reference checkpoints ALWAYS carry localization/fc_loc keys. Our
+    use_stn=False export synthesizes them (identity transform) for strict
+    torch loads; importing such a dict into a use_stn=False model ignores
+    the dead branch; and the synthesized branch is a true no-op when a
+    use_stn=True model loads it."""
+    model_plain = build_model("StnDispNet")
+    x = jnp.zeros((1, 64, 96, 3))
+    v = model_plain.init(jax.random.PRNGKey(0), x, train=False)
+    params = _randomize(v["params"], seed=9)
+
+    sd = export_torch_state(params, {}, "StnDispNet")
+    assert sd["fc_loc.0.weight"].shape == (1280, 15360)
+    np.testing.assert_array_equal(
+        sd["fc_loc.6.bias"], np.array([1, 0, 0, 0, 1, 0], np.float32)
+    )
+    assert "localization.4.3.weight" in sd
+
+    # reimport into the plain model: STN keys ignored, live weights exact
+    params2, _ = import_torch_state(params, {}, sd, "StnDispNet")
+    for l1, l2 in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    # import into a use_stn=True model (built at 64x96, NOT the
+    # reference's fixed 384x1280 fc_loc resolution): the branch is left
+    # at its identity init rather than corrupted -> same function
+    model_stn = build_model("StnDispNet", use_stn=True)
+    v_stn = model_stn.init(jax.random.PRNGKey(1), x, train=False)
+    params_stn, _ = import_torch_state(v_stn["params"], {}, sd, "StnDispNet")
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)), jnp.float32)
+    out_plain = model_plain.apply({"params": params2}, img, train=False)
+    out_stn = model_stn.apply({"params": params_stn}, img, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_plain[0]), np.asarray(out_stn[0]), atol=1e-4
+    )
+
+
 def test_reference_checkpoint_export_roundtrip(tmp_path):
     """export_reference_checkpoint writes the exact dict schema the
     reference saves/resumes ({epoch, dpth_mdl_state_dict,

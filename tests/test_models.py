@@ -187,6 +187,23 @@ class TestDepthModels:
         # batch_stats collection exists (BatchNorm present)
         assert "batch_stats" in variables
 
+    def test_dispresnet_odd_size(self):
+        """Non-multiple-of-32 inputs (the raw KITTI 1242x375 geometry):
+        the decoder crops its 2x upsample to the encoder skip (torch
+        monodepth2 hard-fails on the 48-vs-47 concat) and the param tree
+        is unchanged, so checkpoints stay interchangeable."""
+        model = build_model("DispResNet")
+        x_odd = jnp.zeros((1, 47, 78, 3))
+        disps, variables = _init_and_run(model, x_odd)
+        assert len(disps) == 1
+        # scale-0 disp may overshoot by the crop remainder; the loss
+        # resizes depths to image dims (losses/reprojection.py)
+        assert disps[0].shape[1] >= 47 and disps[0].shape[2] >= 78
+        x_even = jnp.zeros((1, 64, 96, 3))
+        variables_even = model.init(jax.random.PRNGKey(0), x_even, train=False)
+        shapes = lambda v: jax.tree.map(lambda p: p.shape, v["params"])
+        assert shapes(variables) == shapes(variables_even)
+
     def test_dispresnet_param_count_matches_reference(self):
         # torchvision resnet18 conv+bn params (no fc): 11,176,512
         # + monodepth2 DepthDecoder (scales 0-3): 3,152,724

@@ -177,7 +177,15 @@ class DepthDecoder(nn.Module):
             x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
             if self.use_skips and i > 0:
                 x = upsample2x_nearest(x)
-                x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
+                skip = input_features[i - 1]
+                # crop-to-skip: at non-multiple-of-32 inputs (e.g. the raw
+                # KITTI 1242x375 geometry) the 2x upsample overshoots the
+                # encoder skip by one row/col (skip = ceil(prev/2), so
+                # 2*skip >= prev always); torch monodepth2 hard-fails
+                # here — we crop, the DispNetS crop_like convention
+                # (/root/reference/models/depth/disp_net.py:46-48)
+                x = x[:, : skip.shape[1], : skip.shape[2], :]
+                x = jnp.concatenate([x, skip], axis=-1)
                 x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
             else:
                 # no skip concat between upsample and conv: fuse the

@@ -269,15 +269,24 @@ def _posefc_mapping() -> Dict[str, Tuple[str, str]]:
     return m
 
 
-def _stndispnet_mapping(use_stn: bool = False) -> Dict[str, Tuple[str, str]]:
+def _stndispnet_mapping(
+    use_stn: bool = False, torch_stn: Optional[bool] = None
+) -> Dict[str, Tuple[str, str]]:
     """StnDispNet <-> reference stn_depth_net.py state dict
     (/root/reference/models/depth/stn_depth_net.py:41-77): conv{1-4} =
     Sequential(Conv, GroupNorm, ReLU, Conv, GroupNorm, ReLU), upconv_{1-4}
-    = Sequential(ConvTranspose, GroupNorm, ReLU), predict.0, plus (when
-    the STN branch holds parameters) localization.{0-4}.* and
-    fc_loc.{0,2,4,6}. Flax scope order follows models/depth/stn_dispnet.py
-    __call__: with use_stn the 5 localization blocks and 4 Dense layers
-    are created before the encoder blocks."""
+    = Sequential(ConvTranspose, GroupNorm, ReLU), predict.0, plus
+    localization.{0-4}.* and fc_loc.{0,2,4,6}.
+
+    `use_stn` = the FLAX side holds STN parameters (scope order follows
+    models/depth/stn_dispnet.py __call__: the 5 localization blocks and
+    4 Dense layers are created before the encoder blocks). `torch_stn` =
+    the torch side has them. The reference registers the STN modules
+    unconditionally while its forward never calls them
+    (stn_depth_net.py:58-77,107-108), so real reference checkpoints
+    always carry the keys; importing one into a use_stn=False model maps
+    only the live subgraph and ignores the dead branch."""
+    torch_stn = use_stn if torch_stn is None else torch_stn
     m: Dict[str, Tuple[str, str]] = {}
 
     def gn_block(f: str, t: str) -> None:
@@ -288,15 +297,16 @@ def _stndispnet_mapping(use_stn: bool = False) -> Dict[str, Tuple[str, str]]:
 
     enc_base = 0
     if use_stn:
-        for j in range(5):
-            gn_block(f"DownsampleConvGN_{j}", f"localization.{j}")
-        # reference flattens CHW from a 32-channel map (view(-1, 32*12*40),
-        # stn_depth_net.py:83); we flatten HWC
-        m["Dense_0"] = ("fc_loc.0", "linear_chw:32")
-        m["Dense_1"] = ("fc_loc.2", "linear")
-        m["Dense_2"] = ("fc_loc.4", "linear")
-        m["Dense_3"] = ("fc_loc.6", "linear")
         enc_base = 5
+        if torch_stn:
+            for j in range(5):
+                gn_block(f"DownsampleConvGN_{j}", f"localization.{j}")
+            # reference flattens CHW from a 32-channel map
+            # (view(-1, 32*12*40), stn_depth_net.py:83); we flatten HWC
+            m["Dense_0"] = ("fc_loc.0", "linear_chw:32")
+            m["Dense_1"] = ("fc_loc.2", "linear")
+            m["Dense_2"] = ("fc_loc.4", "linear")
+            m["Dense_3"] = ("fc_loc.6", "linear")
     for i in range(4):
         gn_block(f"DownsampleConvGN_{enc_base + i}", f"conv{i + 1}")
     for i in range(4):
@@ -304,6 +314,36 @@ def _stndispnet_mapping(use_stn: bool = False) -> Dict[str, Tuple[str, str]]:
         m[f"UpconvGN_{i}/GroupNorm_0"] = (f"upconv_{i + 1}.1", "gn")
     m["TorchConv_0"] = ("predict.0", "conv")
     return m
+
+
+def _stn_branch_identity_state() -> Dict[str, np.ndarray]:
+    """Synthesized STN-branch tensors for exporting a use_stn=False
+    StnDispNet: the reference registers localization/fc_loc regardless
+    of use, so its state dicts (and parameters()) always include them —
+    a strict torch load of our export needs the keys. Values encode the
+    IDENTITY transform (zero weights, fc_loc.6 bias = [1,0,0,0,1,0],
+    the reference's own init, stn_depth_net.py:104-105) so the branch
+    is a no-op even if re-enabled."""
+    out: Dict[str, np.ndarray] = {}
+    chans = [(3, 16), (16, 32), (32, 32), (32, 32), (32, 32)]
+    for j, (cin, cout) in enumerate(chans):
+        t = f"localization.{j}"
+        out[f"{t}.0.weight"] = np.zeros((cout, cin, 3, 3), np.float32)
+        out[f"{t}.0.bias"] = np.zeros((cout,), np.float32)
+        out[f"{t}.1.weight"] = np.ones((cout,), np.float32)
+        out[f"{t}.1.bias"] = np.zeros((cout,), np.float32)
+        out[f"{t}.3.weight"] = np.zeros((cout, cout, 3, 3), np.float32)
+        out[f"{t}.3.bias"] = np.zeros((cout,), np.float32)
+        out[f"{t}.4.weight"] = np.ones((cout,), np.float32)
+        out[f"{t}.4.bias"] = np.zeros((cout,), np.float32)
+    # fc_loc: Linear(32*12*40, 1280) -> 256 -> 128 -> 6
+    # (stn_depth_net.py:68-77)
+    for cin, cout, idx in ((15360, 1280, 0), (1280, 256, 2),
+                           (256, 128, 4), (128, 6, 6)):
+        out[f"fc_loc.{idx}.weight"] = np.zeros((cout, cin), np.float32)
+        out[f"fc_loc.{idx}.bias"] = np.zeros((cout,), np.float32)
+    out["fc_loc.6.bias"] = np.array([1, 0, 0, 0, 1, 0], np.float32)
+    return out
 
 
 def _bts_mapping() -> Dict[str, Tuple[str, str]]:
@@ -468,7 +508,22 @@ def import_torch_state(
         # block counts + type (basic/bottleneck) vary with num_layers
         mapping = _dispresnet_mapping(torch_state)
     elif model_name == "StnDispNet":
-        mapping = _stndispnet_mapping(use_stn="fc_loc.0.weight" in torch_state)
+        use_stn = "Dense_0" in flax_params
+        torch_stn = "fc_loc.0.weight" in torch_state
+        if use_stn and torch_stn and (
+            int(flax_params["Dense_0"]["kernel"].shape[0])
+            != int(torch_state["fc_loc.0.weight"].shape[1])
+        ):
+            # the reference STN head is a FIXED-resolution Linear
+            # (32*12*40 at its 384x1280 size, stn_depth_net.py:69); at any
+            # other resolution the flatten widths disagree — leave the
+            # branch at its (identity) init rather than corrupt it
+            print(
+                "warning: STN branch not imported "
+                "(resolution-fixed fc_loc flatten mismatch)"
+            )
+            torch_stn = False
+        mapping = _stndispnet_mapping(use_stn=use_stn, torch_stn=torch_stn)
     else:
         mapping = MODEL_MAPPINGS[model_name]()
     params, batch_stats = _to_plain_trees(flax_params, flax_batch_stats)
@@ -667,6 +722,10 @@ def export_torch_state(
     else:
         mapping = MODEL_MAPPINGS[model_name]()
     out: Dict[str, np.ndarray] = {}
+    if model_name == "StnDispNet" and "Dense_0" not in params:
+        # reference state dicts always carry the (dead) STN branch;
+        # synthesize its identity init so a strict torch load succeeds
+        out.update(_stn_branch_identity_state())
     for flax_path, (torch_prefix, kind) in mapping.items():
         if kind == "conv":
             leaf = _get_path(params, flax_path)
