@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--height", type=int, default=192)
     parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--fresh", action="store_true",
+                        help="start a clean REPORT.json (do not merge rows "
+                        "from a prior run even with matching provenance)")
     args = parser.parse_args()
 
     jax.config.update(
@@ -83,18 +86,37 @@ def main():
                 json.dump(self, f, indent=2)
 
     # seed with prior rows so a partial refresh updates rows in place
-    # instead of erasing the rest of the matrix
+    # instead of erasing the rest of the matrix — but ONLY when the prior
+    # run's provenance (device/backend/image/steps) matches this one:
+    # rows measured on a different device or shape must not survive under
+    # the new run's header as if they were its results
+    device = jax.devices()[0].device_kind
+    backend = jax.default_backend()
+    image = f"{width}x{height}"
     prior = {}
-    if os.path.exists(FlushingReport.path):
+    if not args.fresh and os.path.exists(FlushingReport.path):
         try:
             with open(FlushingReport.path) as f:
                 prior = json.load(f)
         except (OSError, json.JSONDecodeError):
             prior = {}
+        if (
+            prior.get("device") != device
+            or prior.get("backend") != backend
+            or prior.get("image") != image
+            or prior.get("steps") != args.steps
+        ):
+            print(
+                f"provenance changed (prior: {prior.get('device')}/"
+                f"{prior.get('backend')}/{prior.get('image')}/"
+                f"steps={prior.get('steps')}); dropping stale rows"
+            )
+            prior = {}
     report = FlushingReport(prior)
-    report["device"] = jax.devices()[0].device_kind
-    report["backend"] = jax.default_backend()
-    report["image"] = f"{width}x{height}"
+    report["device"] = device
+    report["backend"] = backend
+    report["image"] = image
+    report["steps"] = args.steps
 
     config = Config.from_dict(
         {

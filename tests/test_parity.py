@@ -1,8 +1,10 @@
-"""Cross-framework parity: our jitted loss pipeline vs an independent
-PyTorch implementation of the same math (benchmarks/torch_baseline.py) on
-identical inputs — weights-free numerical agreement of the geometry+loss
-stack (the strongest parity evidence available without the reference's
-DVC-only .pth blobs)."""
+"""Cross-framework parity vs benchmarks/torch_baseline.py — the SPEED
+harness's torch implementation, checked here so its baseline numbers
+measure the same math.
+
+The PRIMARY accuracy-parity evidence is tests/test_reference_oracle.py,
+which imports the reference's own executable code from /root/reference as
+the oracle; this module only keeps the independent torch baseline honest."""
 
 import numpy as np
 import jax.numpy as jnp

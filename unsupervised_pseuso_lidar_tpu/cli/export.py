@@ -98,6 +98,28 @@ def main(argv=None):
             export_reference_checkpoint,
         )
 
+        if args.torch_checkpoint:
+            from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+                load_torch_checkpoint,
+            )
+
+            # .npz blobs (ImageNet encoder inits) never carry pose weights
+            pose_trained = (
+                not args.torch_checkpoint.endswith(".npz")
+                and "pose_mdl_state_dict"
+                in load_torch_checkpoint(args.torch_checkpoint)
+            )
+        else:
+            pose_trained = weight_source not in (None, "init (untrained)")
+        if not pose_trained:
+            # a reference-side resume of this .pth would pick up random
+            # pose weights under trusted provenance — say so loudly
+            print(
+                "WARNING: pose_mdl_state_dict in the exported checkpoint is "
+                "RANDOM INIT (weight source carries no pose weights); do not "
+                "resume reference-side training from it without retraining "
+                "the pose net"
+            )
         export_reference_checkpoint(
             params, batch_stats,
             config.model.depth.name, config.model.pose.name, args.out,

@@ -169,7 +169,15 @@ class DepthDecoder(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, input_features):
+    def __call__(self, input_features, image_shape=None):
+        """`image_shape` = (H, W) of the ORIGINAL input image. At
+        non-multiple-of-32 inputs the scale-i pyramid level should be
+        ceil(H/2^i) x ceil(W/2^i); the upsampling chain can overshoot
+        that by one row/col (2*ceil > ceil of the double), and without a
+        skip to crop to (the i==0 head) the extrapolated edge would
+        survive into the output and misalign the whole disparity map
+        once the loss resizes it back to image dims. Passing the image
+        shape crops every scale to its exact pyramid size."""
         num_ch_dec = (16, 32, 64, 128, 256)
         outputs = {}
         x = input_features[-1]
@@ -196,9 +204,14 @@ class DepthDecoder(nn.Module):
                     num_ch_dec[i], pre_upsample2x=True, dtype=self.dtype
                 )(x)
             if i in self.scales:
-                outputs[i] = nn.sigmoid(
+                disp = nn.sigmoid(
                     Conv3x3(self.num_output_channels, dtype=self.dtype)(x)
                 )
+                if image_shape is not None:
+                    h = -(-image_shape[0] // (2 ** i))  # ceil div
+                    w = -(-image_shape[1] // (2 ** i))
+                    disp = disp[:, :h, :w, :]
+                outputs[i] = disp
         return outputs
 
 
@@ -216,7 +229,9 @@ class DispResNet(nn.Module):
         features = ResnetEncoder(self.num_layers, dtype=self.dtype)(
             x, train=train
         )
-        outputs = DepthDecoder(scales=self.scales, dtype=self.dtype)(features)
+        outputs = DepthDecoder(scales=self.scales, dtype=self.dtype)(
+            features, image_shape=x.shape[1:3]
+        )
         if self.all_scales:
             return [outputs[s] for s in sorted(outputs)]
         return [outputs[0]]

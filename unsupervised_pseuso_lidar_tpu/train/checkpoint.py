@@ -718,11 +718,26 @@ def export_torch_state(
             shape=_detect_resnet_shape_from_params(params)
         )
     elif model_name == "StnDispNet":
-        mapping = _stndispnet_mapping(use_stn="Dense_0" in params)
+        use_stn = "Dense_0" in params
+        if use_stn and int(params["Dense_0"]["kernel"].shape[0]) != 15360:
+            # mirror of the import-side check: the reference STN head is a
+            # FIXED-resolution Linear (32*12*40 = 15360 at 384x1280,
+            # /root/reference/models/depth/stn_depth_net.py:69); exporting
+            # a different flatten width would fail the reference's strict
+            # load_state_dict — emit the identity branch instead
+            print(
+                "warning: STN branch not exported (resolution-fixed fc_loc "
+                f"flatten mismatch: {int(params['Dense_0']['kernel'].shape[0])}"
+                " != 15360); writing identity STN state"
+            )
+            use_stn = False
+            mapping = _stndispnet_mapping(use_stn=True, torch_stn=False)
+        else:
+            mapping = _stndispnet_mapping(use_stn=use_stn)
     else:
         mapping = MODEL_MAPPINGS[model_name]()
     out: Dict[str, np.ndarray] = {}
-    if model_name == "StnDispNet" and "Dense_0" not in params:
+    if model_name == "StnDispNet" and not use_stn:
         # reference state dicts always carry the (dead) STN branch;
         # synthesize its identity init so a strict torch load succeeds
         out.update(_stn_branch_identity_state())
@@ -889,28 +904,51 @@ def load_serving_weights(config, state, torch_checkpoint=None,
 
     Returns (params, batch_stats, source) where source describes the
     weight provenance ("init (untrained)" when nothing was restored).
+
+    A full reference checkpoint ({epoch, dpth_mdl_state_dict,
+    pose_mdl_state_dict, ...}, /root/reference/trainer.py:132-137) also
+    restores the POSE subtree — entry points that re-export a training
+    checkpoint (cli/export --format torch) must not silently replace
+    trained pose weights with random init.
     """
     import os
 
     params, batch_stats = state.params, state.batch_stats
 
     if torch_checkpoint:
+        if torch_checkpoint.endswith(".npz"):
+            blob: Dict[str, Any] = dict(np.load(torch_checkpoint))
+        else:
+            blob = load_torch_checkpoint(torch_checkpoint)
         if config.model.depth.name == "DispResNet":
-            depth_params, depth_stats = load_pretrained_depth(
-                params["depth"], batch_stats["depth"], torch_checkpoint
+            depth_params, depth_stats = import_pretrained_depth(
+                params["depth"], batch_stats["depth"], blob
             )
         else:
-            ckpt = load_torch_checkpoint(torch_checkpoint)
-            state_dict = ckpt.get("dpth_mdl_state_dict", ckpt)
+            state_dict = blob.get("dpth_mdl_state_dict", blob)
             depth_params, depth_stats = import_torch_state(
                 params["depth"], batch_stats["depth"],
                 state_dict, config.model.depth.name,
             )
-        return (
-            dict(params, depth=depth_params),
-            dict(batch_stats, depth=depth_stats),
-            torch_checkpoint,
-        )
+        new_params = dict(params, depth=depth_params)
+        new_stats = dict(batch_stats, depth=depth_stats)
+        if "pose" in params and isinstance(blob, dict) \
+                and "pose_mdl_state_dict" in blob:
+            try:
+                pose_params, pose_stats = import_torch_state(
+                    params["pose"], batch_stats.get("pose", {}),
+                    blob["pose_mdl_state_dict"], config.model.pose.name,
+                )
+            except KeyError as err:
+                print(
+                    f"warning: pose weights in {torch_checkpoint} do not "
+                    f"match model.pose.name={config.model.pose.name} "
+                    f"({err}); pose stays at random init"
+                )
+            else:
+                new_params["pose"] = pose_params
+                new_stats["pose"] = pose_stats
+        return new_params, new_stats, torch_checkpoint
 
     if checkpoint or not config.action.from_scratch:
         path = checkpoint or os.path.join(
