@@ -116,6 +116,7 @@ def sample_with_impl(
     padding_mode: str = "zeros",
     mesh=None,
     col_band: int | None = None,
+    img_is_data: bool = False,
 ) -> jax.Array:
     """Bilinear-sample `img` at normalized `coords` with the selected
     implementation (see inverse_warp_from_matrix for the impl contract).
@@ -129,7 +130,12 @@ def sample_with_impl(
     col_band: the fused kernel's column-window width (None = auto, 384 on
     lane-aligned widths >= 512); narrower windows cut the dominant dot's
     FLOPs proportionally at the cost of horizontal-flow coverage
-    (`col_coverage` monitors it). Ignored by 'gather'/'mxu'."""
+    (`col_coverage` monitors it). Ignored by 'gather'/'mxu'.
+
+    img_is_data: assertion that `img` is a DATA frame whose gradient is
+    never consumed — required to differentiate through impl='pallas',
+    whose kernel has no d(out)/d(img) path (the loss stack passes True;
+    anything warping a network output must use 'gather'/'mxu')."""
     if impl in ("mxu", "pallas"):
         if padding_mode != "zeros":
             raise ValueError(
@@ -145,9 +151,11 @@ def sample_with_impl(
             )
 
             def fused(i, c):
-                # positional band_pad/rows_per_block/interpret/col_band:
-                # they are custom_vjp nondiff args
-                return grid_sample_mxu_fused(i, c, 12, 8, None, col_band)
+                # positional band_pad/rows_per_block/interpret/col_band/
+                # img_is_data: they are custom_vjp nondiff args
+                return grid_sample_mxu_fused(
+                    i, c, 12, 8, None, col_band, img_is_data
+                )
 
             if (
                 mesh is not None
@@ -155,8 +163,23 @@ def sample_with_impl(
                 and mesh.shape["data"] > 1
                 and batch % mesh.shape["data"] == 0
             ):
-                from jax.sharding import PartitionSpec as P
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
+                # Anchor the kernel inputs to the exact layout shard_map
+                # consumes: batch over "data", everything else replicated.
+                # Without the explicit constraint GSPMD propagates a
+                # spatially-sharded layout into the shard_map boundary and
+                # resolves the mismatch with an involuntary FULL
+                # rematerialization (replicate-then-partition, the XLA
+                # warning seen in r2's 4x2-mesh dryrun); constrained, the
+                # reshard lowers to one all-gather along "spatial" — which
+                # the kernel needs anyway (its grid is per-batch-row over
+                # full image rows).
+                data_only = NamedSharding(
+                    mesh, P("data", *([None] * (img.ndim - 1)))
+                )
+                img = jax.lax.with_sharding_constraint(img, data_only)
+                coords = jax.lax.with_sharding_constraint(coords, data_only)
                 spec = P("data")
                 sharded = jax.shard_map(
                     fused,
@@ -183,6 +206,7 @@ def inverse_warp_from_matrix(
     intrinsics: jax.Array,
     padding_mode: str = "zeros",
     impl: str = "gather",
+    img_is_data: bool = False,
 ) -> jax.Array:
     """inverse_warp with a pre-assembled [B, 4, 4] rigid transform.
 
@@ -196,13 +220,18 @@ def inverse_warp_from_matrix(
     one-hot matmul on the systolic array — ~6x faster on v5e, exact up to
     bf16 weight rounding while vertical flow stays within the band; see
     ops.resample.grid_sample_mxu), or 'pallas' (the fused Pallas kernel —
-    ~14x the gather path; same semantics as 'mxu' but the gradient w.r.t.
-    `img` is ZERO, which is fine for the photometric loss where warped
-    sources are data frames). 'pallas' serves any width (the kernel
-    lane-pads internally) and falls back to 'mxu' only for C != 3.
+    ~14x the gather path; same semantics as 'mxu' but it has NO gradient
+    path for `img`: differentiating through it requires the explicit
+    `img_is_data=True` assertion that `img` is a data frame whose
+    cotangent is discarded — the photometric-loss case — and raises
+    otherwise). 'pallas' serves any width (the kernel lane-pads
+    internally) and falls back to 'mxu' only for C != 3.
     """
     coords = warp_coords(depth, transform, intrinsics)
-    return sample_with_impl(img, coords, impl=impl, padding_mode=padding_mode)
+    return sample_with_impl(
+        img, coords, impl=impl, padding_mode=padding_mode,
+        img_is_data=img_is_data,
+    )
 
 
 def coverage_from_coords(
