@@ -7,7 +7,10 @@ batch 12, DispResNet + PoseNet, multi-scale reprojection + smoothness,
 The step runs through the multi-step scan driver (unroll optimizer steps
 inside one device program, train/trainer.make_multi_step) over DISTINCT
 pre-staged batches — the framework's production calling convention; each
-scanned step is a complete fwd+bwd+Adam update.
+scanned step is a complete fwd+bwd+Adam update. The defaults (pallas warp,
+bf16, batch 12) are exactly configs/tpu_v5e.yaml — the shipped production
+TPU config reproduces the headline number via
+`cli.train --config configs/tpu_v5e.yaml --synthetic`.
 
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
 
