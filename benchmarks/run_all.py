@@ -48,6 +48,9 @@ def main():
     parser.add_argument("--fresh", action="store_true",
                         help="start a clean REPORT.json (do not merge rows "
                         "from a prior run even with matching provenance)")
+    parser.add_argument("--dino-steps", type=int, default=600,
+                        help="steps for the real-image dino row (row 7); "
+                        "the round-3 evidence run uses 5000")
     args = parser.parse_args()
 
     jax.config.update(
@@ -597,13 +600,21 @@ def main():
     try:
         from dino_turntable import run as dino_run
 
-        dino = dino_run(steps=600, verbose=False)
+        dino = dino_run(steps=args.dino_steps, verbose=False, trajectory=True)
     except Exception as exc:  # data/scipy absent or reference snapshot gone
         print(f"dino row skipped: {exc}")
         dino = None
     if dino is not None:
-        report["dino_600step_warp_err_init"] = round(dino[0], 5)
-        report["dino_600step_warp_err"] = round(dino[1], 5)
+        err0, err1, curve = dino
+        report["dino_steps"] = args.dino_steps
+        report["dino_warp_err_init"] = round(err0, 5)
+        report["dino_warp_err_final"] = round(err1, 5)
+        # every-500-step samples of the curve toward the reference's
+        # recorded 0.00699 (/root/reference/images/warping.txt:1-3)
+        report["dino_warp_err_curve"] = [
+            [s, e] for s, e in curve if s % 500 == 0 or s == args.dino_steps
+        ]
+        report["dino_backend"] = backend  # on-device provenance (VERDICT r2)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REPORT.json")
     with open(out, "w") as f:

@@ -139,9 +139,12 @@ def load_dino(height: int = 192, width: int = 256, root: str = DINO_ROOT):
 
 
 def run(steps: int = 400, batch: int = 8, height: int = 192,
-        width: int = 256, verbose: bool = True):
+        width: int = 256, verbose: bool = True, trajectory: bool = False):
     """Depth-only fit on the turntable; returns (initial, final) mean
-    photometric warp error |tgt - warp(ref0)| on [0, 1]-scaled images."""
+    photometric warp error |tgt - warp(ref0)| on [0, 1]-scaled images —
+    or (initial, final, [(step, err), ...]) when trajectory=True (the
+    warp-error curve toward the reference's recorded 0.00699,
+    /root/reference/images/warping.txt:1-3)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -222,15 +225,19 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
         )
 
     err0 = float(warp_err(state.params, state.batch_stats, batches[0]))
+    curve = [(0, round(err0, 5))]
     s = state
     for i in range(steps):
         s, m = step(s, batches[i % len(batches)])
-        if verbose and (i + 1) % 100 == 0:
-            print(
-                f"step {i+1}: loss={float(m['loss']):.4f} "
-                f"warp_err={float(warp_err(s.params, s.batch_stats, batches[0])):.5f}",
-                flush=True,
-            )
+        if (i + 1) % 100 == 0:
+            err_i = float(warp_err(s.params, s.batch_stats, batches[0]))
+            curve.append((i + 1, round(err_i, 5)))
+            if verbose:
+                print(
+                    f"step {i+1}: loss={float(m['loss']):.4f} "
+                    f"warp_err={err_i:.5f}",
+                    flush=True,
+                )
     err1 = float(warp_err(s.params, s.batch_stats, batches[0]))
     if verbose:
         print(
@@ -238,6 +245,8 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
             f"(reference's recorded KITTI warp evidence: 0.00699, "
             f"images/warping.txt:1)"
         )
+    if trajectory:
+        return err0, err1, curve
     return err0, err1
 
 

@@ -143,6 +143,48 @@ class TestTorchLayers:
                 atol=1e-4,
             )
 
+    def test_conv_space_to_depth_matches_plain(self):
+        # space_to_depth folds the 7x7/s2 stem into a 4x4/s1 conv over
+        # 2x2-blocked input (models/layers.TorchConv._s2d_conv): same
+        # parameter under Conv_0, same MACs, fwd and bwd, plus the
+        # odd-size fallback to the plain conv
+        for shape, bias in [((2, 16, 20, 3), False), ((1, 8, 12, 5), True)]:
+            x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
+            plain = TorchConv(8, 7, stride=2, use_bias=bias)
+            s2d = TorchConv(8, 7, stride=2, use_bias=bias,
+                            space_to_depth=True)
+            variables = plain.init(jax.random.PRNGKey(1), x)
+            assert jax.tree_util.tree_structure(
+                s2d.init(jax.random.PRNGKey(1), x)
+            ) == jax.tree_util.tree_structure(variables)
+            ref = plain.apply(variables, x)
+            got = s2d.apply(variables, x)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-5
+            )
+            g1 = jax.grad(
+                lambda v: jnp.sum(jnp.sin(plain.apply(v, x)))
+            )(variables)
+            g2 = jax.grad(
+                lambda v: jnp.sum(jnp.sin(s2d.apply(v, x)))
+            )(variables)
+            np.testing.assert_allclose(
+                np.asarray(g1["params"]["Conv_0"]["kernel"]),
+                np.asarray(g2["params"]["Conv_0"]["kernel"]),
+                atol=2e-5,
+            )
+        # odd H: falls back to the plain conv, same result
+        x = jnp.asarray(RNG.uniform(-1, 1, (1, 15, 20, 3)).astype(np.float32))
+        plain = TorchConv(8, 7, stride=2)
+        s2d = TorchConv(8, 7, stride=2, space_to_depth=True)
+        variables = plain.init(jax.random.PRNGKey(1), x)
+        np.testing.assert_allclose(
+            np.asarray(s2d.apply(variables, x)),
+            np.asarray(plain.apply(variables, x)),
+            atol=1e-6,
+        )
+
     def test_conv_transpose_matches_torch(self):
         torch = pytest.importorskip("torch")
         x = RNG.uniform(-1, 1, (2, 6, 8, 4)).astype(np.float32)

@@ -76,12 +76,16 @@ class DenseNet161Encoder(nn.Module):
     """
 
     dtype: jnp.dtype | None = None
+    # opt-in blocked stem; measured no-win at the ResNet headline
+    # (models/depth/resnet_dispnet.ResnetEncoder.stem_space_to_depth)
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
         feats = [x]
         out = TorchConv(DENSENET161_INIT, 7, stride=2, use_bias=False,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype,
+                        space_to_depth=self.stem_space_to_depth)(x)
         out = nn.relu(_BN(eps=1e-5, momentum=0.1, dtype=self.dtype)(out, train))
         feats.append(out)  # relu0, H/2
 

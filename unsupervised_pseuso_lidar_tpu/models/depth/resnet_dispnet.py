@@ -115,6 +115,12 @@ class ResnetEncoder(nn.Module):
 
     num_layers: int = 18
     dtype: jnp.dtype | None = None
+    # Rewrite the 7x7/s2 stem as a 4x4/s1 conv over 2x2-blocked input
+    # (models/layers.TorchConv). Measured on v5e at the b12 640x192 bf16
+    # headline: 227.6 fps vs 229.8 plain — XLA already tiles the small-cin
+    # stem at this net's ceiling, so the blocked form stays opt-in
+    # (docs/PERFORMANCE.md §3). Checkpoint-identical either way.
+    stem_space_to_depth: bool = False
 
     @property
     def num_ch_enc(self) -> Sequence[int]:
@@ -132,7 +138,8 @@ class ResnetEncoder(nn.Module):
         )
 
         features = []
-        out = TorchConv(64, 7, stride=2, use_bias=False, dtype=self.dtype)(x)
+        out = TorchConv(64, 7, stride=2, use_bias=False, dtype=self.dtype,
+                        space_to_depth=self.stem_space_to_depth)(x)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,

@@ -28,16 +28,35 @@ def torch_padding(kernel_size: int) -> Sequence[tuple]:
 
 
 class TorchConv(nn.Module):
-    """Conv2d with torch-style symmetric padding (NHWC)."""
+    """Conv2d with torch-style symmetric padding (NHWC).
+
+    space_to_depth: rewrite an odd-k stride-2 conv as a ((k+1)/2)-tap
+    stride-1 conv over the 2x2-space-to-depth-blocked input — the MLPerf
+    ResNet TPU stem trick. A 7x7/s2 conv on a 3-channel image fills 3 of
+    the MXU's 128 input lanes; the blocked form runs the SAME MACs with
+    12 input lanes at 1/4 the spatial positions, so XLA tiles it ~4x
+    denser. The parameter stays the torch-shaped [k, k, cin, features]
+    kernel under the usual Conv_0 path (checkpoint-compatible both ways);
+    the blocked kernel is a zero-padded reshuffle computed at apply time.
+    Falls back to the plain conv at odd H/W (e.g. raw KITTI 1242x375)."""
 
     features: int
     kernel_size: int = 3
     stride: int = 1
     use_bias: bool = True
     dtype: jnp.dtype | None = None
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (
+            self.space_to_depth
+            and self.stride == 2
+            and self.kernel_size % 2 == 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            return self._s2d_conv(x)
         return nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -47,6 +66,46 @@ class TorchConv(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.he_normal(),
         )(x)
+
+    def _s2d_conv(self, x):
+        batch, height, width, cin = x.shape
+        k = self.kernel_size
+        kernel, bias = _ConvParams(
+            self.features, cin, kernel_size=k, use_bias=self.use_bias,
+            name="Conv_0",
+        )()
+        dtype = self.dtype or x.dtype
+
+        # input: [B, H, W, C] -> [B, H/2, W/2, 4C], channel order (a, b, c)
+        xb = (
+            x.reshape(batch, height // 2, 2, width // 2, 2, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(batch, height // 2, width // 2, 4 * cin)
+        )
+        # kernel: output row r = 2i + (dy - pad) lands on block row
+        # p = i + P - pad_blk with phase a = r mod 2, i.e. dy = 2P + a - 1
+        # after one leading zero row/col pad (k odd -> k+1 even). Same
+        # reshuffle along columns. [k,k,ci,co] -> [(k+1)/2 * 2, ...] ->
+        # [(k+1)/2, (k+1)/2, 4ci, co] with (a, b, c)-major channel order
+        # matching xb.
+        kb = k + 1
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kb_kernel = (
+            kp.reshape(kb // 2, 2, kb // 2, 2, cin, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(kb // 2, kb // 2, 4 * cin, self.features)
+        )
+        pad = (k - 1) // 2  # torch pad; block pads: lo=(pad+1)//2, hi=pad//2
+        out = jax.lax.conv_general_dilated(
+            xb.astype(dtype),
+            kb_kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=(((pad + 1) // 2, pad // 2), ((pad + 1) // 2, pad // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            out = out + bias.astype(dtype)
+        return out
 
 
 class TorchConvTranspose(nn.Module):
@@ -100,22 +159,27 @@ class TorchConvTranspose(nn.Module):
 
 
 class _ConvParams(nn.Module):
-    """Bare 3x3 conv parameters under the same scope/leaf names as
-    nn.Conv, so modules that need raw kernel access (the fused
-    upsample+conv path) stay checkpoint-path-compatible with the nn.Conv
-    they replace (train/checkpoint.py maps .../Conv_0/{kernel,bias})."""
+    """Bare conv parameters under the same scope/leaf names as nn.Conv,
+    so modules that need raw kernel access (the fused upsample+conv and
+    space-to-depth stem paths) stay checkpoint-path-compatible with the
+    nn.Conv they replace (train/checkpoint.py maps .../Conv_0/{kernel,bias})."""
 
     features: int
     in_features: int
+    kernel_size: int = 3
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param(
             "kernel",
             nn.initializers.he_normal(),
-            (3, 3, self.in_features, self.features),
+            (self.kernel_size, self.kernel_size, self.in_features,
+             self.features),
             jnp.float32,
         )
+        if not self.use_bias:
+            return kernel, None
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
