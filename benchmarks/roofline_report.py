@@ -62,12 +62,42 @@ def parse_convs(hlo: str):
     conv inside a fused computation maps to the instruction the profiler
     actually times.
     """
-    convs = []
+    # Pass 1: output shape of every instruction, plus fusion-computation
+    # parameter shapes — operand shapes are NOT printed at the call site
+    # ("convolution(%a, %b)"), so convs resolve them by name here.
+    shapes = {}  # (comp, instr_name) -> (dtype, dims)
     comp_of_fusion = {}
     comp = "ENTRY"
     for raw in hlo.splitlines():
         line = raw.strip()
-        # computation header: "%fused_computation.12 (param...) -> ... {"
+        m = re.match(r"(?:ENTRY )?%?([\w.\-]+)\s*\((.*)\)\s*->.*{", line)
+        if m and "=" not in line.split("(")[0]:
+            comp = m.group(1)
+            # header params: "param_0.1: bf16[12,96,320,64], p2: f32[...]"
+            for mp in re.finditer(
+                r"([\w.\-]+):\s*(bf16|f32|f16|s32|u8|pred)\[([\d,]*)\]",
+                m.group(2),
+            ):
+                dims = [int(d) for d in mp.group(3).split(",") if d] or [1]
+                shapes[(comp, mp.group(1))] = (mp.group(2), dims)
+            continue
+        if line == "}":
+            comp = "ENTRY"
+            continue
+        minstr = re.match(r"%?([\w.\-]+)\s*=\s*(.*)", line)
+        if minstr:
+            dt, dims = parse_shape(minstr.group(2))
+            if dt is not None:
+                shapes[(comp, minstr.group(1))] = (dt, dims)
+        mcall = re.search(r"%?([\w.\-]+)\s*=.*\bfusion\(.*calls=%?([\w.\-]+)", line)
+        if mcall:
+            comp_of_fusion[mcall.group(2)] = mcall.group(1)
+
+    # Pass 2: the convolutions, operands resolved through `shapes`.
+    convs = []
+    comp = "ENTRY"
+    for raw in hlo.splitlines():
+        line = raw.strip()
         m = re.match(r"(?:ENTRY )?%?([\w.\-]+)\s*\([^)]*\)\s*->.*{", line)
         if m and "=" not in line.split("(")[0]:
             comp = m.group(1)
@@ -75,9 +105,6 @@ def parse_convs(hlo: str):
         if line == "}":
             comp = "ENTRY"
             continue
-        mcall = re.search(r"%?([\w.\-]+)\s*=.*\bfusion\(.*calls=%?([\w.\-]+)", line)
-        if mcall:
-            comp_of_fusion[mcall.group(2)] = mcall.group(1)
         if " convolution(" not in line:
             continue
         mname = re.match(r"%?([\w.\-]+)\s*=\s*(.*)", line)
@@ -85,12 +112,14 @@ def parse_convs(hlo: str):
             continue
         name = mname.group(1)
         out_dtype, out_dims = parse_shape(mname.group(2))
-        # operands: the two shapes inside convolution(...)
+        # operand NAMES inside convolution(...); shapes looked up by name
         args_txt = line.split(" convolution(", 1)[1]
+        args_txt = args_txt.split("), window=")[0].split(")")[0]
         operand_shapes = []
-        for m2 in SHAPE_RE.finditer(args_txt.split(", window=")[0]):
-            dims = [int(d) for d in m2.group(2).split(",") if d] or [1]
-            operand_shapes.append((m2.group(1), dims))
+        for op_name in (a.strip().lstrip("%") for a in args_txt.split(",")):
+            got = shapes.get((comp, op_name))
+            if got is not None:
+                operand_shapes.append(got)
         mw = re.search(r"window={([^}]*)}", line)
         window = mw.group(1) if mw else ""
         ml = re.search(r"dim_labels=([\w>\-]+)", line)
@@ -111,6 +140,18 @@ def parse_convs(hlo: str):
         byt = DTYPE_BYTES.get(out_dtype, 4) * out_elems + sum(
             DTYPE_BYTES.get(dt, 4) * math.prod(dd) for dt, dd in operand_shapes
         )
+        # 128-lane padding model: the MXU contracts 128 lanes and emits
+        # 128 lanes; a conv with cin or cout < 128 burns the same cycles
+        # as the padded shape. This is the LAYOUT ceiling small-channel
+        # convs actually face (XLA can partially recover by folding
+        # batch/spatial into sublanes, so treat it as a bound, not truth).
+        out_labels = dim_labels.split("->")[-1] if dim_labels else ""
+        if "f" in out_labels:
+            co = out_dims[out_labels.index("f")]
+        else:
+            co = out_dims[-1] if out_dims else 1
+        pad = lambda n: 128 * math.ceil(max(n, 1) / 128)
+        flops_padded = flops * (pad(rhs_i) / max(rhs_i, 1)) * (pad(co) / max(co, 1))
         convs.append(
             {
                 "name": name,
@@ -120,6 +161,7 @@ def parse_convs(hlo: str):
                 "window": window,
                 "dim_labels": dim_labels,
                 "gflops": flops / 1e9,
+                "gflops_padded": flops_padded / 1e9,
                 "mbytes": byt / 1e6,
                 "dtype": out_dtype,
             }
@@ -143,13 +185,14 @@ def conv_family(c):
             role = "grad_filter"
     rhs = c["operands"][1] if len(c["operands"]) > 1 else "?"
     rhs_dims = rhs.split("[")[-1].rstrip("]")
-    last = rhs_dims.split(",")[-1] if "," in rhs_dims else rhs_dims
+    last = (rhs_dims.split(",")[-1] if "," in rhs_dims else rhs_dims).strip()
     return f"{role}_{win}_co{last}"
 
 
-def roofline_ms(c):
+def roofline_ms(c, padded: bool = False):
     peak = PEAK_BF16_TFLOPS if c["dtype"] == "bf16" else PEAK_F32_TFLOPS
-    t_flops = c["gflops"] / peak / 1e3  # s
+    gf = c["gflops_padded"] if padded else c["gflops"]
+    t_flops = gf / peak / 1e3  # s
     t_mem = c["mbytes"] / 1e3 / HBM_GBPS
     return max(t_flops, t_mem) * 1e3
 
@@ -263,13 +306,15 @@ def main():
     # family table
     fams = collections.defaultdict(
         lambda: {"count": 0, "gflops": 0.0, "roofline_ms": 0.0,
-                 "measured_ms": 0.0, "unmatched": 0}
+                 "padded_roofline_ms": 0.0, "measured_ms": 0.0,
+                 "unmatched": 0}
     )
     for c in convs:
         f = fams[conv_family(c)]
         f["count"] += 1
         f["gflops"] += c["gflops"]
         f["roofline_ms"] += roofline_ms(c)
+        f["padded_roofline_ms"] += roofline_ms(c, padded=True)
         if c.get("measured_ms") is None:
             f["unmatched"] += 1
         else:
@@ -305,9 +350,10 @@ def main():
         warp_roofline = (wf + wb) / 1e9 / PEAK_BF16_TFLOPS / 1e3 * 1e3  # ms
 
     device_kind = jax.devices()[0].device_kind
-    rows = sorted(fams.items(), key=lambda kv: -kv[1]["roofline_ms"])
+    rows = sorted(fams.items(), key=lambda kv: -kv[1]["measured_ms"])
     conv_meas = sum(f["measured_ms"] for _, f in rows)
     conv_roof = sum(f["roofline_ms"] for _, f in rows)
+    conv_pad = sum(f["padded_roofline_ms"] for _, f in rows)
     report = {
         "device": device_kind,
         "backend": jax.default_backend(),
@@ -318,6 +364,7 @@ def main():
         "trace_total_ms_per_step": round(total_measured, 3),
         "conv_measured_ms": round(conv_meas, 3),
         "conv_roofline_ms": round(conv_roof, 3),
+        "conv_padded_roofline_ms": round(conv_pad, 3),
         "warp_customcall_measured_ms": round(warp_measured, 3),
         "warp_mxu_roofline_ms": round(warp_roofline, 3) if warp_roofline else None,
         "families": {
@@ -325,8 +372,12 @@ def main():
                 "count": f["count"],
                 "gflops": round(f["gflops"], 2),
                 "roofline_ms": round(f["roofline_ms"], 3),
+                "padded_roofline_ms": round(f["padded_roofline_ms"], 3),
                 "measured_ms": round(f["measured_ms"], 3),
                 "efficiency": round(f["roofline_ms"] / f["measured_ms"], 3)
+                if f["measured_ms"] > 0 else None,
+                "efficiency_vs_padded": round(
+                    min(f["padded_roofline_ms"], 999) / f["measured_ms"], 3)
                 if f["measured_ms"] > 0 else None,
                 "unmatched": f["unmatched"],
             }
@@ -338,18 +389,24 @@ def main():
     with open(out, "w") as fp:
         json.dump(report, fp, indent=2)
 
-    print(f"\n| family | n | GFLOPs | roofline ms | measured ms | eff |")
-    print(f"|---|---|---|---|---|---|")
+    print(f"\n| family | n | GFLOPs | SOL ms | lane-pad ms | measured ms "
+          f"| eff | eff vs pad |")
+    print(f"|---|---|---|---|---|---|---|---|")
     for name, f in rows:
         eff = (f["roofline_ms"] / f["measured_ms"]) if f["measured_ms"] else 0
+        effp = (
+            f["padded_roofline_ms"] / f["measured_ms"]
+            if f["measured_ms"] else 0
+        )
         print(f"| {name} | {f['count']} | {f['gflops']:.1f} | "
-              f"{f['roofline_ms']:.2f} | {f['measured_ms']:.2f} | "
-              f"{eff:.0%} |")
-    print(f"| conv total |  |  | {conv_roof:.2f} | {conv_meas:.2f} | "
-          f"{conv_roof / conv_meas:.0%} |" if conv_meas else "")
+              f"{f['roofline_ms']:.2f} | {f['padded_roofline_ms']:.2f} | "
+              f"{f['measured_ms']:.2f} | {eff:.0%} | {min(effp, 9.99):.0%} |")
+    print(f"| conv total |  |  | {conv_roof:.2f} | {conv_pad:.2f} | "
+          f"{conv_meas:.2f} | {conv_roof / conv_meas:.0%} | "
+          f"{conv_pad / conv_meas:.0%} |" if conv_meas else "")
     if warp_roofline:
-        print(f"| pallas warp (custom-call) |  |  | {warp_roofline:.2f} | "
-              f"{warp_measured:.2f} | {warp_roofline / warp_measured:.0%} |"
+        print(f"| pallas warp (custom-call) |  |  | {warp_roofline:.2f} |  | "
+              f"{warp_measured:.2f} | {warp_roofline / warp_measured:.0%} |  |"
               if warp_measured else "")
     print(f"\ntrace total {total_measured:.1f} ms/step; non-conv non-warp = "
           f"{total_measured - conv_meas - warp_measured:.1f} ms")
