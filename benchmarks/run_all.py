@@ -609,10 +609,18 @@ def main():
         report["dino_steps"] = args.dino_steps
         report["dino_warp_err_init"] = round(err0, 5)
         report["dino_warp_err_final"] = round(err1, 5)
+        # the reference's LITERAL recorded statistic — the SIGNED mean
+        # (tgt - warp).mean(), where residuals cancel; its recorded KITTI
+        # value is 0.00699 (/root/reference/images/warping.txt:1). The
+        # abs-on-valid rows above are a strictly harsher metric.
+        report["dino_warp_signed_err_init"] = curve[0][2]
+        report["dino_warp_signed_err_final"] = curve[-1][2]
         # every-500-step samples of the curve toward the reference's
-        # recorded 0.00699 (/root/reference/images/warping.txt:1-3)
+        # recorded 0.00699 (/root/reference/images/warping.txt:1-3);
+        # entries are [step, mean|tgt-warp| on valid px, signed mean]
         report["dino_warp_err_curve"] = [
-            [s, e] for s, e in curve if s % 500 == 0 or s == args.dino_steps
+            list(row) for row in curve
+            if row[0] % 500 == 0 or row[0] == args.dino_steps
         ]
         report["dino_backend"] = backend  # on-device provenance (VERDICT r2)
 

@@ -142,9 +142,11 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
         width: int = 256, verbose: bool = True, trajectory: bool = False):
     """Depth-only fit on the turntable; returns (initial, final) mean
     photometric warp error |tgt - warp(ref0)| on [0, 1]-scaled images —
-    or (initial, final, [(step, err), ...]) when trajectory=True (the
-    warp-error curve toward the reference's recorded 0.00699,
-    /root/reference/images/warping.txt:1-3)."""
+    or (initial, final, [(step, abs_err, signed_err), ...]) when
+    trajectory=True — abs_err is mean|tgt-warp| on valid pixels;
+    signed_err is the reference's literal recorded statistic
+    (tgt - warp).mean() whose KITTI value is 0.00699
+    (/root/reference/images/warping.txt:1-3)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -220,30 +222,43 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
         valid = (jnp.abs(warped).sum(-1, keepdims=True) > 0).astype(
             jnp.float32
         )
-        return jnp.sum(jnp.abs(warped - img) * valid) / (
+        abs_err = jnp.sum(jnp.abs(warped - img) * valid) / (
             jnp.sum(valid) * 3.0
         )
+        # the reference's LITERAL recorded statistic — a SIGNED mean over
+        # the whole tensor, invalid (zero-filled) pixels included, where
+        # positive and negative residuals cancel:
+        #   print((tgt - projected_img).mean()) : 0.00699
+        # (/root/reference/images/warping.txt:1). Reported alongside the
+        # strictly-harsher |.|-on-valid metric above.
+        signed_err = jnp.mean(img - warped)
+        return abs_err, signed_err
 
-    err0 = float(warp_err(state.params, state.batch_stats, batches[0]))
-    curve = [(0, round(err0, 5))]
+    e = warp_err(state.params, state.batch_stats, batches[0])
+    err0, signed0 = float(e[0]), float(e[1])
+    curve = [(0, round(err0, 5), round(signed0, 5))]
     s = state
     for i in range(steps):
         s, m = step(s, batches[i % len(batches)])
         if (i + 1) % 100 == 0:
-            err_i = float(warp_err(s.params, s.batch_stats, batches[0]))
-            curve.append((i + 1, round(err_i, 5)))
+            e = warp_err(s.params, s.batch_stats, batches[0])
+            err_i, signed_i = float(e[0]), float(e[1])
+            curve.append((i + 1, round(err_i, 5), round(signed_i, 5)))
             if verbose:
                 print(
                     f"step {i+1}: loss={float(m['loss']):.4f} "
-                    f"warp_err={err_i:.5f}",
+                    f"warp_err={err_i:.5f} signed={signed_i:.5f}",
                     flush=True,
                 )
-    err1 = float(warp_err(s.params, s.batch_stats, batches[0]))
+    e = warp_err(s.params, s.batch_stats, batches[0])
+    err1, signed1 = float(e[0]), float(e[1])
     if verbose:
         print(
-            f"dino warp |tgt-warp| mean: {err0:.5f} -> {err1:.5f} "
-            f"(reference's recorded KITTI warp evidence: 0.00699, "
-            f"images/warping.txt:1)"
+            f"dino warp |tgt-warp| mean (valid px): {err0:.5f} -> "
+            f"{err1:.5f}; reference-statistic signed mean "
+            f"(tgt-warp).mean(): {signed0:.5f} -> {signed1:.5f} "
+            f"(reference's recorded KITTI value of the same expression: "
+            f"0.00699, images/warping.txt:1)"
         )
     if trajectory:
         return err0, err1, curve
