@@ -511,13 +511,28 @@ def phase_ours(args):
     raw = _ref_config(
         args, os.path.join(args.workdir, "train_split.txt"), args.epochs
     )
-    # production TPU execution settings (configs/tpu_v5e.yaml); the
-    # OBJECTIVE already matches the reference by default (loss_mode
-    # 'mean', smooth_on 'depth', weight 1 — losses/total.py)
+    # production TPU execution settings (configs/tpu_v5e.yaml)
     raw["action"]["warp_impl"] = "pallas"
     raw["action"]["precision"] = "bf16"
     raw["action"]["num_workers"] = 2
     raw["action"]["checkpoint_dir"] = os.path.join(args.workdir, "ours_ckpt")
+    if args.objective == "production":
+        # the objective this framework ships for real training (min +
+        # automask reprojection, disparity smoothness at the monodepth2
+        # weight — configs/{basic_config,tpu_v5e}.yaml "objective
+        # conditioning"). The reference's LITERAL objective (zeros-padded
+        # 'mean' L1 + unweighted depth smoothness) has a trivial solution
+        # — push every warp sample out of frame and the L1 freezes at
+        # mean|tgt|, which BEATS a badly-warped image — that this
+        # framework's init falls into within 3 steps on this scene
+        # (measured; --objective reference reproduces it), while
+        # automasking is structurally immune: a zero warp can never beat
+        # the identity reference frame at any pixel.
+        raw["action"]["loss_mode"] = "min"
+        raw["action"]["smooth_on"] = "disp"
+        raw["action"]["smooth_weight"] = 0.001
+    # else: the dataclass defaults ARE the reference-literal objective
+    # (loss_mode 'mean', smooth_on 'depth', weight 1 — losses/total.py)
     with open(cfg_path, "w") as f:
         yaml.safe_dump(raw, f)
 
@@ -557,13 +572,15 @@ def phase_ours(args):
         # round-trips as raw void -> cast to float32 for the report phase
         preds.append(np.asarray(depth, dtype=np.float32)[0, ..., 0])
         gts.append(np.asarray(batch["groundtruth"], dtype=np.float32)[0])
+    tag = "" if args.objective == "production" else f"_{args.objective}"
     np.savez(
-        os.path.join(args.workdir, "ours_eval.npz"),
+        os.path.join(args.workdir, f"ours_eval{tag}.npz"),
         preds=np.stack(preds), gts=np.stack(gts),
     )
     steps = trainer.steps_per_epoch * args.epochs
     out = {
         "framework": "this framework (cli.train, pallas+bf16)",
+        "objective": args.objective,
         "backend": jax.default_backend(),
         "steps": steps,
         "steps_per_epoch": trainer.steps_per_epoch,
@@ -571,7 +588,7 @@ def phase_ours(args):
         "train_seconds": round(train_secs, 1),
         "sec_per_step": round(train_secs / max(steps, 1), 3),
     }
-    with open(os.path.join(args.workdir, "ours_result.json"), "w") as f:
+    with open(os.path.join(args.workdir, f"ours_result{tag}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
@@ -624,11 +641,19 @@ def phase_report(args):
             "(no egress) so both stacks used random init"
         ),
     }
-    for side, result, npz in (
-        ("reference", "ref_result.json", "ref_eval.npz"),
-        ("ours", "ours_result.json", "ours_eval.npz"),
+    for side, result, npz, required in (
+        ("reference", "ref_result.json", "ref_eval.npz", True),
+        ("ours", "ours_result.json", "ours_eval.npz", True),
+        # optional negative-result row: ours trained with the reference's
+        # LITERAL objective (see phase_ours) — collapses to the
+        # zeros-warp trivial solution on this scene
+        ("ours_reference_objective", "ours_result_reference.json",
+         "ours_eval_reference.npz", False),
     ):
-        with open(os.path.join(args.workdir, result)) as f:
+        path = os.path.join(args.workdir, result)
+        if not required and not os.path.exists(path):
+            continue
+        with open(path) as f:
             row = json.load(f)
         data = np.load(os.path.join(args.workdir, npz))
         row["eval"] = _depth_metrics(data["preds"], data["gts"])
@@ -658,6 +683,7 @@ def phase_all(args):
         "--tx", str(args.tx), "--slant-deg", str(args.slant_deg),
         "--frames", str(args.frames), "--epochs", str(args.epochs),
         "--lr", str(args.lr), "--backend", args.backend,
+        "--objective", args.objective,
     ] + (["--out", args.out] if args.out else [])
     # each phase in its own process: the ref phase's sys.modules shims
     # (fake torchvision/wandb, top-level 'models'/'geometry' packages)
@@ -687,6 +713,14 @@ def main():
     parser.add_argument("--epochs", type=int, default=25)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--ref-timeout", type=int, default=5400)
+    parser.add_argument("--objective", default="production",
+                        choices=("production", "reference"),
+                        help="'production' = the objective this framework "
+                        "ships (min+automask, disp smoothness 1e-3); "
+                        "'reference' = the reference's literal objective "
+                        "(mean L1 + unweighted depth smoothness), which "
+                        "collapses to the zeros-warp trivial solution on "
+                        "this scene (negative-result row)")
     parser.add_argument("--backend", default="auto", choices=("auto", "cpu"),
                         help="'cpu' forces the ours phase off the TPU "
                         "(tests; the axon plugin ignores JAX_PLATFORMS)")

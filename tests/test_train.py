@@ -848,3 +848,28 @@ class TestShardedValidate:
                                    rtol=2e-4)
         np.testing.assert_allclose(metrics["abs_rel"], metrics2["abs_rel"],
                                    rtol=2e-4, atol=1e-6)
+
+
+class TestCollapseWarning:
+    """The zeros-warp trivial-solution guard (Trainer._warn_if_collapsed):
+    coverage EXACTLY 0.0 means every sample projects out of frame, the
+    photometric gradient is dead, and training cannot recover (measured in
+    benchmarks/reference_loop.py --objective reference)."""
+
+    def _bare_trainer(self):
+        from unsupervised_pseuso_lidar_tpu.train.trainer import Trainer
+
+        return Trainer.__new__(Trainer)  # guard needs no trainer state
+
+    def test_warns_once_on_zero_coverage(self, capsys):
+        t = self._bare_trainer()
+        t._warn_if_collapsed({"band_coverage": 0.0, "loss": 0.567})
+        assert "zeros-warp" in capsys.readouterr().out
+        t._warn_if_collapsed({"band_coverage": 0.0, "loss": 0.567})
+        assert capsys.readouterr().out == ""  # once per run, not per epoch
+
+    def test_silent_on_healthy_coverage(self, capsys):
+        t = self._bare_trainer()
+        t._warn_if_collapsed({"band_coverage": 0.77, "col_coverage": 0.94})
+        t._warn_if_collapsed({})  # gather impl: no coverage metrics at all
+        assert capsys.readouterr().out == ""

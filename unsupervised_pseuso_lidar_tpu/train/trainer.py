@@ -647,7 +647,41 @@ class Trainer:
         if metrics is None:  # empty iterator (e.g. split smaller than batch)
             return last_metrics
         # fetch final metrics once per epoch (single host sync)
-        return {k: float(v) for k, v in metrics.items()}
+        out = {k: float(v) for k, v in metrics.items()}
+        self._warn_if_collapsed(out)
+        return out
+
+    def _warn_if_collapsed(self, metrics: Dict[str, float]) -> None:
+        """Loud one-time warning when training falls into the zeros-warp
+        trivial solution.
+
+        The zeros-padded 'mean' L1 objective (the reference's literal one,
+        losses.py:219-228) is minimized by pushing EVERY warp sample out
+        of frame: the warped image becomes all zeros, the loss freezes at
+        mean|tgt|, and — because out-of-frame taps carry no gradient —
+        training can never recover. Measured on the reference-loop scene
+        (benchmarks/reference_loop.py --objective reference): collapse
+        within 3 steps from random init, while the same run under
+        loss_mode 'min' (automasking: a zero warp can never beat the
+        identity reference frame at any pixel) trains healthily. Detected
+        here via the banded-warp coverage metrics, which hit EXACTLY 0.0
+        only when no sample lands in-image."""
+        if getattr(self, "_collapse_warned", False):
+            return
+        cov = metrics.get("band_coverage", metrics.get("col_coverage"))
+        if cov is not None and cov == 0.0:
+            self._collapse_warned = True
+            print(
+                "[trainer] WARNING: warp coverage is 0.0 — every sample "
+                "projects out of frame, so the photometric gradient is "
+                "dead and the loss is frozen at mean|tgt| (the zeros-warp "
+                "trivial solution of the zeros-padded 'mean' objective). "
+                "Training cannot recover from here. Restart with "
+                "action.loss_mode: 'min' (automasking is structurally "
+                "immune) and smooth_on: 'disp' — see "
+                "benchmarks/reference_loop.py and docs/DESIGN.md §8.",
+                flush=True,
+            )
 
     def validate(self, val_batches) -> Dict[str, float]:
         sums: Dict[str, float] = {}
