@@ -529,6 +529,7 @@ def phase_ours(args):
         # automasking is structurally immune: a zero warp can never beat
         # the identity reference frame at any pixel.
         raw["action"]["loss_mode"] = "min"
+        raw["action"]["depth_norm"] = True
         raw["action"]["smooth_on"] = "disp"
         raw["action"]["smooth_weight"] = 0.001
     # else: the dataclass defaults ARE the reference-literal objective

@@ -213,11 +213,28 @@ def min_reprojection_loss(
     mesh=None,
     col_band: int | None = None,
 ):
-    """monodepth2-style per-pixel-min reprojection with binary automasking.
+    """monodepth2-style per-pixel-min reprojection with automasking.
 
     The reference scaffolds this (elementwise minimum + identity-loss
     automask, commented out at /root/reference/losses.py:156-167) but never
     activates it; here it is a first-class alternative objective.
+
+    Automask formulation: per pixel the loss is
+    ``min(min_r reproj_err_r, min_r ident_err_r + 1e-5)`` — monodepth2's
+    joint minimum over reprojection AND identity errors (the +1e-5
+    tie-break plays the role of monodepth2's noise: where warp and
+    identity tie, the warp wins and keeps its gradient). Pixels where the
+    static-scene error wins contribute the IDENTITY error — a constant
+    w.r.t. parameters — NOT zero. A multiplicative mask (``err * mask``)
+    is gradient-identical on unmasked pixels but changes the LOSS
+    LANDSCAPE: masking a pixel drops its contribution to 0 < ident, so
+    pushing every warp sample out of frame (disparity saturating at the
+    0.1 m floor blows all taps out of the image) monotonically REDUCES
+    such a loss toward 0 — a degenerate attractor this framework measured
+    falling into within ~20 steps on the reference-loop scene
+    (benchmarks/reference_loop.py). Under the joint-min form that collapse
+    leaves the loss at mean(ident), which any in-frame warp improvement
+    beats, so it is not an attractor.
 
     Args:
       depths: list over scales of target-frame depths [B, h, w, 1].
@@ -243,7 +260,9 @@ def min_reprojection_loss(
             no_ssim=no_ssim,
             clip_loss=0.0,
         ).mean(axis=-1)
-        ident = jnp.minimum(ident[:batch], ident[batch:])
+        # +1e-5: tie-break toward the warp so near-static pixels keep
+        # their photometric gradient (monodepth2's noise, deterministic)
+        ident = jnp.minimum(ident[:batch], ident[batch:]) + 1e-5
 
     total = jnp.asarray(0.0, dtype=tgt.dtype)
     coverages = []
@@ -272,9 +291,9 @@ def min_reprojection_loss(
         err = err.mean(axis=-1)  # [2B, H, W]
         err = jnp.minimum(err[:batch], err[batch:])  # per-pixel min over refs
         if automask:
-            # Keep pixels where reprojection beats the static-scene error.
-            mask = (err < ident).astype(err.dtype)
-            err = err * mask
+            # joint min with the identity error (see docstring): static /
+            # occluded pixels contribute the constant ident term, never 0
+            err = jnp.minimum(err, ident)
         total = total + jnp.mean(err)
     loss = total / len(depths)
     if with_coverage:

@@ -12,10 +12,36 @@ from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
 from unsupervised_pseuso_lidar_tpu.losses.reprojection import reprojection_loss
 from unsupervised_pseuso_lidar_tpu.losses.smoothness import smooth_loss
+
+
+def _mean_normalize(depth: jax.Array) -> jax.Array:
+    """Per-image INVERSE-depth mean normalization:
+    depth * mean_i(1/depth), i.e. warp with mean(disp-scaled)/disp-scaled.
+
+    Quotients the global-scale direction out of the warp: a uniform
+    inverse-depth scaling leaves the normalized map (and hence the
+    photometric loss) EXACTLY unchanged, so the shrinking-depth runaway
+    (disparity saturating at the sigmoid ceiling within a few steps of
+    random init — measured on benchmarks/reference_loop.py's scene) has
+    no gradient to ride. The published cure for this degeneracy
+    (Wang et al., CVPR 2018 'Learning Depth from Monocular Videos using
+    Direct Methods' §3.1; SC-SfMLearner's disp/mean(disp) form, adopted
+    here). Normalizing on the DISPARITY side rather than the depth side
+    matters: depth-side normalization still rewards saturating the
+    sigmoid (1/(10σ+0.01) compresses a wide σ-range into near-constant
+    depth — a 'flatten the scene' shortcut that parks σ where its
+    gradient dies, measured on the same scene), while here flatness
+    requires genuinely constant σ, reachable at healthy mid-range
+    activations. Monocular depth is scale-ambiguous anyway (eval
+    median-scales), so nothing is lost."""
+    inv = 1.0 / jnp.maximum(depth, 1e-7)
+    m = jnp.mean(inv, axis=tuple(range(1, depth.ndim)), keepdims=True)
+    return depth * m
 
 
 def total_loss(
@@ -32,6 +58,7 @@ def total_loss(
     with_coverage: bool = False,
     mesh=None,
     col_band: int | None = None,
+    depth_norm: bool = False,
 ):
     """Compute (reprojection_loss, smoothness_loss)
     — or (reprojection_loss, smoothness_loss, coverage_dict) when
@@ -53,8 +80,14 @@ def total_loss(
         the smoothness gradient can dominate the photometric one, pushing
         disparity to saturation. 'disp' smooths the raw disparity maps
         (the monodepth2-standard, well-conditioned choice).
+      depth_norm: per-image mean-normalize each depth map before warping
+        (see _mean_normalize) — kills the uniform-scale runaway; the pose
+        net then learns translation in scene-relative units. Off by
+        default (reference parity); the production objective turns it on.
     """
     depths = [[disp_to_depth(d) for d in frame] for frame in disparities]
+    if depth_norm:
+        depths = [[_mean_normalize(d) for d in frame] for frame in depths]
     if mode == "min":
         # monodepth2-style per-pixel minimum over refs with SSIM blend and
         # automasking (the reference's latent objective, losses.py:156-167,

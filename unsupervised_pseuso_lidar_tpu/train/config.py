@@ -101,6 +101,10 @@ class ActionConfig:
     loss_mode: str = "mean"
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
+    # per-image mean-normalize depth before warping (losses/total.py
+    # _mean_normalize) — kills the uniform-scale (shrinking-depth) runaway;
+    # off = reference parity, on in the production objective conditioning
+    depth_norm: bool = False
     # optional sparse-LiDAR depth supervision (masked L1, meters) added
     # to the self-supervised objective; 0 = off (reference behavior —
     # its loss receives gt but never uses it, losses.py:262-271)
@@ -199,6 +203,7 @@ class Config:
             loss_mode=act_raw.get("loss_mode", "mean"),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
+            depth_norm=bool(act_raw.get("depth_norm", False)),
             supervised_weight=float(act_raw.get("supervised_weight", 0.0)),
             warp_impl=act_raw.get("warp_impl", "mxu"),
             warp_col_band=int(act_raw.get("warp_col_band", 0)),

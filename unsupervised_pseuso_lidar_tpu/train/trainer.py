@@ -236,6 +236,7 @@ def make_train_step_body(
     semi_sup_pose: bool = False,
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
+    depth_norm: bool = False,
     supervised_weight: float = 0.0,
     warp_impl: str = "mxu",
     col_band: Optional[int] = None,
@@ -288,6 +289,7 @@ def make_train_step_body(
             mode=loss_mode,
             smooth_weight=smooth_weight,
             smooth_on=smooth_on,
+            depth_norm=depth_norm,
             warp_impl=warp_impl,
             col_band=col_band,
             with_coverage=want_coverage,
@@ -458,7 +460,8 @@ def make_multi_step(
 def make_eval_step(depth_model, pose_model, loss_mode="mean",
                    semi_sup_pose=False, warp_impl="mxu",
                    col_band=None, median_scale=False, mesh=None,
-                   eval_protocol="none", pose_metrics=False) -> Callable:
+                   eval_protocol="none", pose_metrics=False,
+                   depth_norm=False) -> Callable:
     """Jitted validation step: loss + depth prediction (no grads).
 
     Parity: /root/reference/trainer.py:315-337 (validate) with the broken
@@ -512,6 +515,7 @@ def make_eval_step(depth_model, pose_model, loss_mode="mean",
             warp_impl=warp_impl,
             col_band=col_band,
             mesh=mesh,
+            depth_norm=depth_norm,
         )
         depth_pred = disp_to_depth(disps_tgt[0][..., 0])  # [B, H, W]
         metrics = {"loss": reproj + smooth, **pose_extra}
@@ -581,6 +585,7 @@ class Trainer:
             semi_sup_pose=config.action.semi_sup_pose,
             smooth_weight=config.action.smooth_weight,
             smooth_on=config.action.smooth_on,
+            depth_norm=config.action.depth_norm,
             supervised_weight=config.action.supervised_weight,
             warp_impl=config.action.warp_impl,
             col_band=config.action.warp_col_band or None,
@@ -602,6 +607,7 @@ class Trainer:
             mesh=mesh,
             eval_protocol=config.action.eval_protocol,
             pose_metrics=config.action.eval_pose,
+            depth_norm=config.action.depth_norm,
         )
 
         from unsupervised_pseuso_lidar_tpu.train.checkpoint import CheckpointManager
@@ -661,11 +667,13 @@ class Trainer:
         mean|tgt|, and — because out-of-frame taps carry no gradient —
         training can never recover. Measured on the reference-loop scene
         (benchmarks/reference_loop.py --objective reference): collapse
-        within 3 steps from random init, while the same run under
-        loss_mode 'min' (automasking: a zero warp can never beat the
-        identity reference frame at any pixel) trains healthily. Detected
-        here via the banded-warp coverage metrics, which hit EXACTLY 0.0
-        only when no sample lands in-image."""
+        within 3 steps from random init. loss_mode 'min' is immune by
+        construction: its automask takes the per-pixel JOINT minimum with
+        the identity error (losses/reprojection.min_reprojection_loss),
+        so an all-out-of-frame warp leaves the loss at the identity floor
+        — never an improvement, never an attractor. Detected here via the
+        banded-warp coverage metrics, which hit EXACTLY 0.0 only when no
+        sample lands in-image."""
         if getattr(self, "_collapse_warned", False):
             return
         cov = metrics.get("band_coverage", metrics.get("col_coverage"))
@@ -677,8 +685,9 @@ class Trainer:
                 "dead and the loss is frozen at mean|tgt| (the zeros-warp "
                 "trivial solution of the zeros-padded 'mean' objective). "
                 "Training cannot recover from here. Restart with "
-                "action.loss_mode: 'min' (automasking is structurally "
-                "immune) and smooth_on: 'disp' — see "
+                "action.loss_mode: 'min' (its joint-min automask leaves "
+                "an out-of-frame warp at the identity-error floor, never "
+                "an improvement) and smooth_on: 'disp' — see "
                 "benchmarks/reference_loop.py and docs/DESIGN.md §8.",
                 flush=True,
             )
