@@ -266,9 +266,8 @@ def main(argv=None):
             depth_in, img_spec,
         )
         jobs = 3 * len(disps_shape) * args.batch
-        flops_step += fused_warp_flops(
-            jobs, args.height, args.width, col_band=col_band
-        )
+        # backward=True is the TOTAL differentiated-call work: the
+        # VJP-forward two-tap dot; the custom-VJP backward runs no kernel
         flops_step += fused_warp_flops(
             jobs, args.height, args.width, col_band=col_band, backward=True
         )

@@ -573,7 +573,10 @@ def phase_ours(args):
         # round-trips as raw void -> cast to float32 for the report phase
         preds.append(np.asarray(depth, dtype=np.float32)[0, ..., 0])
         gts.append(np.asarray(batch["groundtruth"], dtype=np.float32)[0])
-    tag = "" if args.objective == "production" else f"_{args.objective}"
+    if args.tag:
+        tag = f"_{args.tag}"
+    else:
+        tag = "" if args.objective == "production" else f"_{args.objective}"
     np.savez(
         os.path.join(args.workdir, f"ours_eval{tag}.npz"),
         preds=np.stack(preds), gts=np.stack(gts),
@@ -589,6 +592,8 @@ def phase_ours(args):
         "train_seconds": round(train_secs, 1),
         "sec_per_step": round(train_secs / max(steps, 1), 3),
     }
+    if args.tag:
+        out["protocol_note"] = args.note or args.tag
     with open(os.path.join(args.workdir, f"ours_result{tag}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
@@ -645,9 +650,14 @@ def phase_report(args):
     for side, result, npz, required in (
         ("reference", "ref_result.json", "ref_eval.npz", True),
         ("ours", "ours_result.json", "ours_eval.npz", True),
-        # optional negative-result row: ours trained with the reference's
-        # LITERAL objective (see phase_ours) — collapses to the
-        # zeros-warp trivial solution on this scene
+        # equal-WALL-CLOCK row: ours trained for (about) the reference's
+        # measured train_seconds instead of its step count — the
+        # TPU-first comparison (a faster step buys more optimization
+        # inside the same time budget), VERDICT r3 next-step 2
+        ("ours_equal_time", "ours_result_equal_time.json",
+         "ours_eval_equal_time.npz", False),
+        # optional row: ours trained with the reference's LITERAL
+        # objective (see phase_ours)
         ("ours_reference_objective", "ours_result_reference.json",
          "ours_eval_reference.npz", False),
     ):
@@ -690,10 +700,34 @@ def phase_all(args):
     # (fake torchvision/wandb, top-level 'models'/'geometry' packages)
     # must never coexist with our stack's imports
     for phase, budget in (("tree", 600), ("ref", args.ref_timeout),
-                          ("ours", 3600), ("report", 300)):
+                          ("ours", 3600)):
         print(f"=== phase {phase} ===", flush=True)
         subprocess.run(base[:2] + [phase] + base[2:], check=True,
                        timeout=budget)
+    # equal-wall-clock leg: rerun ours with as many whole epochs as fit
+    # the reference's measured train time at ours' measured sec/step
+    with open(os.path.join(args.workdir, "ref_result.json")) as f:
+        ref = json.load(f)
+    with open(os.path.join(args.workdir, "ours_result.json")) as f:
+        ours = json.load(f)
+    sec_per_epoch = ours["sec_per_step"] * ours["steps_per_epoch"]
+    eq_epochs = max(int(ref["train_seconds"] // sec_per_epoch), 1)
+    if eq_epochs != args.epochs:
+        print(f"=== phase ours (equal wall clock: {eq_epochs} epochs ~ "
+              f"{ref['train_seconds']}s) ===", flush=True)
+        eq = [a for a in base if a not in ("--epochs", str(args.epochs))]
+        subprocess.run(
+            eq[:2] + ["ours"] + eq[2:] + [
+                "--epochs", str(eq_epochs), "--tag", "equal_time",
+                "--note",
+                f"equal wall clock: {eq_epochs} epochs chosen to fit the "
+                f"reference's measured {ref['train_seconds']}s",
+            ],
+            check=True, timeout=3 * 3600,
+        )
+    print("=== phase report ===", flush=True)
+    subprocess.run(base[:2] + ["report"] + base[2:], check=True,
+                   timeout=300)
 
 
 def main():
@@ -727,6 +761,11 @@ def main():
                         "(tests; the axon plugin ignores JAX_PLATFORMS)")
     parser.add_argument("--out", default="",
                         help="report path (default benchmarks/REFLOOP.json)")
+    parser.add_argument("--tag", default="",
+                        help="result-file tag for extra ours rows (e.g. "
+                        "'equal_time' -> ours_result_equal_time.json)")
+    parser.add_argument("--note", default="",
+                        help="protocol note recorded with a tagged row")
     args = parser.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     {"tree": phase_tree, "ref": phase_ref, "ours": phase_ours,

@@ -343,11 +343,12 @@ def main():
             depth_in, img_spec,
         )
         jobs = 3 * len(disps_shape) * args.batch
-        wf = fused_warp_flops(jobs, args.height, args.width,
-                              col_band=args.col_band or None)
-        wb = fused_warp_flops(jobs, args.height, args.width,
-                              col_band=args.col_band or None, backward=True)
-        warp_roofline = (wf + wb) / 1e9 / PEAK_BF16_TFLOPS / 1e3 * 1e3  # ms
+        # backward=True covers the whole differentiated call (VJP-forward
+        # two-tap dot; the custom-VJP backward runs no kernel)
+        wtotal = fused_warp_flops(jobs, args.height, args.width,
+                                  col_band=args.col_band or None,
+                                  backward=True)
+        warp_roofline = wtotal / 1e9 / PEAK_BF16_TFLOPS / 1e3 * 1e3  # ms
 
     device_kind = jax.devices()[0].device_kind
     rows = sorted(fams.items(), key=lambda kv: -kv[1]["measured_ms"])

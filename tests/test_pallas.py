@@ -60,14 +60,27 @@ class TestFusedWarp:
         from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
             grid_sample_mxu_fused,
         )
-        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample_mxu
+        from unsupervised_pseuso_lidar_tpu.ops.resample import (
+            grid_sample,
+            grid_sample_mxu,
+        )
 
         jax, img, grid = self._case()
+        exact = grid_sample(img, grid)  # f32 gather bilinear (ground truth)
         ref = grid_sample_mxu(img, grid, band_pad=4)
         got = grid_sample_mxu_fused(img, grid, 4, 8, True)
+        # the fused kernel's only rounding is bf16 on the image taps (the
+        # bilinear weights apply post-dot in f32): within bf16 eps of the
+        # exact bilinear, and strictly no worse than the XLA MXU path
+        # (whose one-hot also rounds the weights to bf16)
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+            np.asarray(got), np.asarray(exact), rtol=4e-3, atol=1e-2
         )
+        err_fused = np.abs(np.asarray(got) - np.asarray(exact)).max()
+        err_mxu = np.abs(
+            np.asarray(ref, dtype=np.float32) - np.asarray(exact)
+        ).max()
+        assert err_fused <= err_mxu + 1e-6
 
     def test_grid_gradients_match_xla_mxu(self):
         from unsupervised_pseuso_lidar_tpu.ops.pallas.warp import (
@@ -80,8 +93,17 @@ class TestFusedWarp:
         def loss(fn, g):
             return jnp.mean(jnp.abs(fn(img, g) - 100.0))
 
+        # grad reference: the EXACT f32 gather bilinear — the bf16 mxu
+        # path's grad can flip sign at the |.| kink where its forward
+        # rounds across pred==100 (a handful of pixels)
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
         g_ref = jax.grad(
-            lambda g: loss(lambda i, gg: grid_sample_mxu(i, gg, band_pad=4), g)
+            lambda g: loss(
+                lambda i, gg: grid_sample(
+                    i, gg, align_corners=True, padding_mode="zeros"
+                ), g
+            )
         )(grid)
         g_fus = jax.grad(
             lambda g: loss(
@@ -131,15 +153,29 @@ class TestFusedWarp:
         assert float(col_coverage(grid, None, 8, 12)) == 1.0
         ref = grid_sample_mxu(img, grid, band_pad=12)
         got = grid_sample_mxu_fused(img, grid, 12, 8, True)
+        # fused applies the bilinear weights in f32 post-dot; the XLA band
+        # warp rounds them to bf16 inside its one-hot — agreement is up to
+        # that weight rounding (rel ~2^-9 per weight)
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+            np.asarray(got), np.asarray(ref, dtype=np.float32),
+            rtol=5e-3, atol=0.5,
         )
 
         def loss(fn, g):
             return jnp.mean(jnp.abs(fn(img, g) - 100.0))
 
+        # grad reference: the EXACT f32 gather bilinear (the bf16 mxu
+        # path's grad can flip sign at the |.| kink where its forward
+        # rounds across pred==100; the fused kernel's tap-plane grad
+        # matches the exact autodiff there)
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
         g_ref = jax.grad(
-            lambda g: loss(lambda i, gg: grid_sample_mxu(i, gg, band_pad=12), g)
+            lambda g: loss(
+                lambda i, gg: grid_sample(
+                    i, gg, align_corners=True, padding_mode="zeros"
+                ), g
+            )
         )(grid)
         g_fus = jax.grad(
             lambda g: loss(
@@ -164,15 +200,24 @@ class TestFusedWarp:
         jax, img, grid = self._case(batch=1, height=16, width=128)
         ref = grid_sample_mxu(img, grid, band_pad=10)
         got = grid_sample_mxu_fused(img, grid, 10, 8, True)
+        # bf16-weight-rounding tolerance (see test_row_windowed_...)
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+            np.asarray(got), np.asarray(ref, dtype=np.float32),
+            rtol=5e-3, atol=0.5,
         )
 
         def loss(fn, g):
             return jnp.mean(jnp.abs(fn(img, g) - 100.0))
 
+        # exact-gather grad reference (see test_row_windowed_...)
+        from unsupervised_pseuso_lidar_tpu.ops.resample import grid_sample
+
         g_ref = jax.grad(
-            lambda g: loss(lambda i, gg: grid_sample_mxu(i, gg, band_pad=10), g)
+            lambda g: loss(
+                lambda i, gg: grid_sample(
+                    i, gg, align_corners=True, padding_mode="zeros"
+                ), g
+            )
         )(grid)
         g_fus = jax.grad(
             lambda g: loss(
@@ -208,8 +253,10 @@ class TestFusedWarp:
         assert cov > 0.95, f"outliers must not steal the row window: {cov}"
         ref = grid_sample_mxu(img, grid, band_pad=12)
         got = grid_sample_mxu_fused(img, grid, 12, 8, True)
+        # bf16-weight-rounding tolerance (see test_row_windowed_...)
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref, dtype=np.float32), atol=1e-3
+            np.asarray(got), np.asarray(ref, dtype=np.float32),
+            rtol=5e-3, atol=0.5,
         )
 
     def test_col_coverage_untileable_width_returns_one(self):
@@ -263,8 +310,9 @@ class TestFusedWarp:
         np.testing.assert_allclose(np.asarray(g_img), 0.0)
 
     def test_warp_impl_pallas_fallback_shapes(self):
-        # W=96 doesn't satisfy the kernel tiling: impl='pallas' must fall
-        # back to the XLA band-matmul and still match it
+        # W=96 isn't natively tileable: impl='pallas' lane-pads it inside
+        # _prepare (zero source columns + sentinel output columns) and must
+        # still agree with the XLA band-matmul up to bf16 weight rounding
         from unsupervised_pseuso_lidar_tpu.geometry.warp import (
             inverse_warp_from_matrix,
         )
@@ -277,7 +325,9 @@ class TestFusedWarp:
         )
         a = inverse_warp_from_matrix(img, depth, transform, k, impl="pallas")
         b = inverse_warp_from_matrix(img, depth, transform, k, impl="mxu")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=0.5
+        )
 
     @pytest.mark.slow
     def test_sharded_step_keeps_pallas(self):
@@ -343,7 +393,8 @@ class TestFusedWarpFlops:
         got = fused_warp_flops(1, 192, 640)
         expect = 2 * 192 * 640 * 3 * 32 * 384
         assert got == expect
-        # backward runs two mirror dots
+        # a differentiated call runs the two-tap VJP-forward dot (2x the
+        # primal MACs); its backward runs no kernel
         assert fused_warp_flops(1, 192, 640, backward=True) == 2 * expect
         # batch-linear
         assert fused_warp_flops(36, 192, 640) == 36 * expect

@@ -261,8 +261,14 @@ def min_reprojection_loss(
             clip_loss=0.0,
         ).mean(axis=-1)
         # +1e-5: tie-break toward the warp so near-static pixels keep
-        # their photometric gradient (monodepth2's noise, deterministic)
-        ident = jnp.minimum(ident[:batch], ident[batch:]) + 1e-5
+        # their photometric gradient (monodepth2's noise, deterministic).
+        # fp32 on purpose: at bf16 (relative eps ~8e-3) the 1e-5 nudge
+        # rounds away against typical photometric errors (~0.1) and the
+        # documented 'warp wins ties' behavior would silently not hold.
+        ident = (
+            jnp.minimum(ident[:batch], ident[batch:]).astype(jnp.float32)
+            + 1e-5
+        )
 
     total = jnp.asarray(0.0, dtype=tgt.dtype)
     coverages = []

@@ -20,6 +20,11 @@ from flax import linen as nn
 from unsupervised_pseuso_lidar_tpu.models.layers import Conv3x3, ConvBlock, TorchConv
 from unsupervised_pseuso_lidar_tpu.ops.resample import upsample2x_nearest
 
+# torchvision's ResNet init (the encoder distribution the reference
+# actually trains from scratch with, resnet 'kaiming_normal fan_out'):
+# nn.init.kaiming_normal_(weight, mode='fan_out', nonlinearity='relu')
+_RESNET_CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
 RESNET_STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
     34: (3, 4, 6, 3),
@@ -52,14 +57,15 @@ class BasicBlock(nn.Module):
 
         residual = x
         out = TorchConv(self.features, 3, stride=self.stride, use_bias=False,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype, kernel_init=_RESNET_CONV_INIT)(x)
         out = nn.relu(bn()(out))
-        out = TorchConv(self.features, 3, use_bias=False, dtype=self.dtype)(out)
+        out = TorchConv(self.features, 3, use_bias=False, dtype=self.dtype,
+                        kernel_init=_RESNET_CONV_INIT)(out)
         out = bn()(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = TorchConv(
                 self.features, 1, stride=self.stride, use_bias=False,
-                dtype=self.dtype,
+                dtype=self.dtype, kernel_init=_RESNET_CONV_INIT,
             )(x)
             residual = bn()(residual)
         return nn.relu(out + residual)
@@ -86,17 +92,19 @@ class Bottleneck(nn.Module):
 
         out_ch = 4 * self.features
         residual = x
-        out = TorchConv(self.features, 1, use_bias=False, dtype=self.dtype)(x)
+        out = TorchConv(self.features, 1, use_bias=False, dtype=self.dtype,
+                        kernel_init=_RESNET_CONV_INIT)(x)
         out = nn.relu(bn()(out))
         out = TorchConv(self.features, 3, stride=self.stride, use_bias=False,
-                        dtype=self.dtype)(out)
+                        dtype=self.dtype, kernel_init=_RESNET_CONV_INIT)(out)
         out = nn.relu(bn()(out))
-        out = TorchConv(out_ch, 1, use_bias=False, dtype=self.dtype)(out)
+        out = TorchConv(out_ch, 1, use_bias=False, dtype=self.dtype,
+                        kernel_init=_RESNET_CONV_INIT)(out)
         out = bn()(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = TorchConv(
                 out_ch, 1, stride=self.stride, use_bias=False,
-                dtype=self.dtype,
+                dtype=self.dtype, kernel_init=_RESNET_CONV_INIT,
             )(x)
             residual = bn()(residual)
         return nn.relu(out + residual)
@@ -139,7 +147,8 @@ class ResnetEncoder(nn.Module):
 
         features = []
         out = TorchConv(64, 7, stride=2, use_bias=False, dtype=self.dtype,
-                        space_to_depth=self.stem_space_to_depth)(x)
+                        space_to_depth=self.stem_space_to_depth,
+                        kernel_init=_RESNET_CONV_INIT)(x)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,

@@ -27,6 +27,45 @@ def torch_padding(kernel_size: int) -> Sequence[tuple]:
     return ((pad, pad), (pad, pad))
 
 
+# ---------------------------------------------------------------------------
+# torch-parity initialization
+#
+# torch Conv2d/ConvTranspose2d reset_parameters draws BOTH the kernel and
+# the bias from U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (kaiming_uniform with
+# a=sqrt(5)). This is NOT a style choice here but a training-dynamics
+# requirement: the monodepth2-style decoder has no normalization layers,
+# so the init scale compounds multiplicatively across its ~15 convs. With
+# he_normal (std sqrt(2/fan_in), 2.4x torch's) the dispconv logits land
+# several sigmas from 0 and the disparity sigmoid SATURATES AT INIT
+# (measured on benchmarks/diag_refloop.py: sigma_mean 0.997 at step 1,
+# 1.000 by step 50 -> constant 0.1 m depth, zero sigmoid gradient, eval
+# exactly at the constant-prediction floor — the r3 REFLOOP collapse).
+# Matching the reference's init distribution (the torch default the
+# reference trains from, /root/reference/models/depth/resnet_dispnet.py
+# declares no custom init) starts sigma near 0.5 with healthy gradients.
+# ---------------------------------------------------------------------------
+
+
+def torch_kernel_init():
+    """torch's default conv kernel init: U(+-1/sqrt(fan_in)) ==
+    variance_scaling(1/3, fan_in, uniform) for [k, k, cin, cout] kernels."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def _uniform_bound(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default conv bias init: U(+-1/sqrt(fan_in))."""
+    return _uniform_bound(float(fan_in) ** -0.5)
+
+
 class TorchConv(nn.Module):
     """Conv2d with torch-style symmetric padding (NHWC).
 
@@ -46,6 +85,12 @@ class TorchConv(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype | None = None
     space_to_depth: bool = False
+    # None = torch's default conv init (see torch_kernel_init above —
+    # load-bearing for from-scratch training); models with an explicit
+    # reference init scheme override (PoseNet: xavier + zero bias,
+    # /root/reference/models/pose/pose_net.py:51-56)
+    kernel_init: nn.initializers.Initializer | None = None
+    bias_init: nn.initializers.Initializer | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -57,6 +102,7 @@ class TorchConv(nn.Module):
             and x.shape[2] % 2 == 0
         ):
             return self._s2d_conv(x)
+        fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
         return nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -64,7 +110,8 @@ class TorchConv(nn.Module):
             padding=torch_padding(self.kernel_size),
             use_bias=self.use_bias,
             dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(),
+            kernel_init=self.kernel_init or torch_kernel_init(),
+            bias_init=self.bias_init or torch_bias_init(fan_in),
         )(x)
 
     def _s2d_conv(self, x):
@@ -72,6 +119,7 @@ class TorchConv(nn.Module):
         k = self.kernel_size
         kernel, bias = _ConvParams(
             self.features, cin, kernel_size=k, use_bias=self.use_bias,
+            kernel_init=self.kernel_init, bias_init=self.bias_init,
             name="Conv_0",
         )()
         dtype = self.dtype or x.dtype
@@ -133,9 +181,13 @@ class TorchConvTranspose(nn.Module):
     def __call__(self, x):
         in_features = x.shape[-1]
         k = self.kernel_size
+        # torch ConvTranspose2d fan_in is size(1)*k*k of its [cin, cout,
+        # k, k] weight = cout*k*k (NOT cin) — both kernel and bias draw
+        # U(+-1/sqrt(fan_in)), matched here (see torch_kernel_init note)
+        fan_in = k * k * self.features
         kernel = self.param(
             "kernel",
-            nn.initializers.he_normal(),
+            _uniform_bound(float(fan_in) ** -0.5),
             (k, k, in_features, self.features),
             jnp.float32,
         )
@@ -152,7 +204,8 @@ class TorchConvTranspose(nn.Module):
         )
         if self.use_bias:
             bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                "bias", torch_bias_init(fan_in), (self.features,),
+                jnp.float32,
             )
             out = out + bias.astype(dtype)
         return out
@@ -168,12 +221,15 @@ class _ConvParams(nn.Module):
     in_features: int
     kernel_size: int = 3
     use_bias: bool = True
+    kernel_init: nn.initializers.Initializer | None = None
+    bias_init: nn.initializers.Initializer | None = None
 
     @nn.compact
     def __call__(self):
+        fan_in = self.kernel_size * self.kernel_size * self.in_features
         kernel = self.param(
             "kernel",
-            nn.initializers.he_normal(),
+            self.kernel_init or torch_kernel_init(),
             (self.kernel_size, self.kernel_size, self.in_features,
              self.features),
             jnp.float32,
@@ -181,7 +237,8 @@ class _ConvParams(nn.Module):
         if not self.use_bias:
             return kernel, None
         bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            "bias", self.bias_init or torch_bias_init(fan_in),
+            (self.features,), jnp.float32,
         )
         return kernel, bias
 
@@ -256,7 +313,8 @@ class Conv3x3(nn.Module):
             (3, 3),
             padding="VALID",
             dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(),
+            kernel_init=torch_kernel_init(),
+            bias_init=torch_bias_init(9 * x.shape[-1]),
         )
         if not self.use_refl:
             return conv(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))))

@@ -27,8 +27,17 @@ class PoseNet(nn.Module):
         x = jnp.concatenate([image, *context], axis=-1)
         channels = (16, 32, 64, 128, 256, 256, 256)
         kernels = (7, 5, 3, 3, 3, 3, 3)
+        # the reference trains PoseNet from xavier_uniform kernels with
+        # ZERO biases (init_weights, pose_net.py:51-56; trainer.py:168
+        # applies it to pose models when from_scratch)
+        init = dict(
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+        )
         for width, k in zip(channels, kernels):
-            x = nn.relu(TorchConv(width, k, stride=2, dtype=self.dtype)(x))
-        pose = TorchConv(6 * self.nb_ref_imgs, 1, dtype=self.dtype)(x)
+            x = nn.relu(
+                TorchConv(width, k, stride=2, dtype=self.dtype, **init)(x)
+            )
+        pose = TorchConv(6 * self.nb_ref_imgs, 1, dtype=self.dtype, **init)(x)
         pose = pose.mean(axis=(1, 2))  # global average over H, W
         return 0.06 * pose.reshape(pose.shape[0], self.nb_ref_imgs, 6)

@@ -17,9 +17,13 @@ column — no in-kernel relayouts.
 
 Gradients: training only needs d(out)/d(grid) (the warped sources are
 data, not activations — /root/reference/trainer.py:296-306 warps the
-reference frames). The custom VJP computes d_x/d_y analytically inside a
-mirror kernel (two MXU dots per tile, no HBM intermediates) and returns a
-ZERO gradient for the image. Semantics otherwise match
+reference frames). The custom VJP computes the per-pixel d(out)/dx and
+d(out)/dy tap planes INSIDE the forward kernel (pure 0/1 indicator
+one-hots + one [3KW, WB] x [WB, 256] two-tap MXU dot per tile; bilinear
+weights applied post-dot in f32), so the backward pass is two fused
+elementwise contractions with the output cotangent — no backward kernel,
+no second coordinate _prepare, no one-hot rebuild. It returns a ZERO
+gradient for the image. Semantics otherwise match
 grid_sample_mxu(band_pad, rows_per_block=8, dot_dtype=bf16): flow-adaptive
 vertical band, zeros padding, out-of-band taps contribute 0.
 
@@ -69,9 +73,15 @@ def _on_tpu() -> bool:
 
 
 def _fwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
-                k0_ref, wy1_ref, out_r, out_g, out_b, band, *, num_tiles,
+                k0_ref, wy1_ref, *refs, num_tiles,
                 band_rows, win_rows, plane_rows, width, col_band,
-                num_blocks):
+                num_blocks, with_taps):
+    if with_taps:
+        (out_r, out_g, out_b, dxr, dxg, dxb, dyr, dyg, dyb, band) = refs
+        out_refs = (out_r, out_g, out_b, dxr, dxg, dxb, dyr, dyg, dyb)
+    else:
+        (out_r, out_g, out_b, band) = refs
+        out_refs = (out_r, out_g, out_b)
     b = pl.program_id(0)
     t = pl.program_id(1)
     start = starts_ref[b, t]
@@ -86,11 +96,12 @@ def _fwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
     # Mosaic only allows tile-aligned dynamic vector loads/stores: fetch
     # 8 sublane rows (= 8 coordinate tiles) at a time, then index rows
     # statically. All per-pixel vectors live as [1, 128] lane rows; the
-    # one-hot is built transposed so no lane<->sublane relayout is needed.
+    # indicators are built transposed so no lane<->sublane relayout is
+    # needed.
     iw_t = jax.lax.broadcasted_iota(jnp.int32, (col_band, LANES), 0)
     # y-selection mask over ONE channel's window rows [KW, 128]; channels
-    # read their slice of xint_t statically — 3x less compare/mask work
-    # than a per-channel mask over the full [3KW, 128] stack.
+    # read their slice of the x-interpolated taps statically — 3x less
+    # compare/mask work than a per-channel mask over the full stack.
     ik_t = jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0)
 
     def tile8(ii, carry):
@@ -99,7 +110,7 @@ def _fwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
         wx18 = wx1_ref[0, 0, pl.ds(base, 8), :]
         k08 = k0_ref[0, 0, pl.ds(base, 8), :]
         wy18 = wy1_ref[0, 0, pl.ds(base, 8), :]
-        outs = {0: [], 1: [], 2: []}
+        outs = [[] for _ in out_refs]
         for r in range(8):
             x0r = x08[r : r + 1, :]                    # [1, 128]
             wx1r = wx18[r : r + 1, :]
@@ -132,133 +143,55 @@ def _fwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
                 # whole — no dynamic row offset, no (possibly false)
                 # multiple-of-16 claim when band_rows isn't 16-aligned
                 band_r = band[:, cols]                 # [3KW, WB]
-            onehot_t = (
-                jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
-                + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
-            ).astype(jnp.bfloat16)                     # [WB, 128]
-            xint_t = jax.lax.dot_general(
-                band_r, onehot_t,
+            # PURE 0/1 indicator one-hots (bf16-exact) for the two x taps;
+            # the bilinear weights are applied AFTER the dot, in f32, on
+            # the [3KW, 128] tap tensors — ~2x less VPU build work on the
+            # dominant [WB, 128] tensors than weighted one-hots, and both
+            # taps come back from ONE [3KW, WB] x [WB, 256] MXU dot.
+            ind01 = jnp.concatenate(
+                [
+                    jnp.where(iw_t == x0r, 1.0, 0.0),
+                    jnp.where(iw_t == x0r + 1, 1.0, 0.0),
+                ],
+                axis=1,
+            ).astype(jnp.bfloat16)                     # [WB, 256]
+            taps = jax.lax.dot_general(
+                band_r, ind01,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                          # [3KW, 128]
+            )                                          # [3KW, 256]
+            t0x = taps[:, :LANES]                      # [3KW, 128]
+            t1x = taps[:, LANES:]
+            xint_t = (1.0 - wx1r) * t0x + wx1r * t1x   # [3KW, 128] f32
             v0 = (k0r >= 0) & (k0r <= win_rows - 1)
             v1 = (k0r + 1 >= 0) & (k0r + 1 <= win_rows - 1)
-            sel = (
-                jnp.where((ik_t == k0r) & v0, 1.0 - wy1r, 0.0)
-                + jnp.where((ik_t == k0r + 1) & v1, wy1r, 0.0)
-            )                                          # [KW, 128], shared
+            m0 = jnp.where((ik_t == k0r) & v0, 1.0, 0.0)   # [KW, 128]
+            m1 = jnp.where((ik_t == k0r + 1) & v1, 1.0, 0.0)
+            sel = m0 * (1.0 - wy1r) + m1 * wy1r        # [KW, 128], shared
+            if with_taps:
+                # d(out)/dx taps: xint of the x-DERIVATIVE (t1x - t0x),
+                # y-interpolated with the same sel; d(out)/dy taps:
+                # tap1 - tap0 (the y-lerp endpoints' difference). Emitted
+                # per channel so the custom-VJP backward is PURE
+                # elementwise math — no backward kernel, no second
+                # _prepare, no second one-hot build.
+                dxint_t = t1x - t0x
+                dmask = m1 - m0
             for c in range(3):
                 xint_c = xint_t[c * win_rows : (c + 1) * win_rows, :]
                 outs[c].append(
                     jnp.sum(xint_c * sel, axis=0, keepdims=True)
                 )                                      # [1, 128]
-        for c, out_ref in enumerate((out_r, out_g, out_b)):
-            out_ref[0, 0, pl.ds(base, 8), :] = jnp.concatenate(
-                outs[c], axis=0
-            )
-        return carry
-
-    jax.lax.fori_loop(0, num_tiles // 8, tile8, 0)
-
-
-def _bwd_kernel(starts_ref, c0_ref, r0_ref, planes_ref, x0_ref, wx1_ref,
-                k0_ref, wy1_ref, dr_ref, dg_ref, db_ref, dx_out, dy_out,
-                band, *, num_tiles, band_rows, win_rows, plane_rows, width,
-                col_band, num_blocks):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    start = starts_ref[b, t]
-    for c in range(3):
-        band[pl.ds(c * band_rows, band_rows), :] = planes_ref[
-            0, pl.ds(pl.multiple_of(c * plane_rows + start, 16), band_rows), :
-        ]
-
-    banded = col_band < width
-    windowed = win_rows < band_rows
-    iw_t = jax.lax.broadcasted_iota(jnp.int32, (col_band, LANES), 0)
-    # single-channel-window iota: masks are built once over [KW, 128] and
-    # shared across channels (channels read static slices of xint_t)
-    ik_t = jax.lax.broadcasted_iota(jnp.int32, (win_rows, LANES), 0)
-
-    def tile8(ii, carry):
-        base = pl.multiple_of(ii * 8, 8)
-        x08 = x0_ref[0, 0, pl.ds(base, 8), :]
-        wx18 = wx1_ref[0, 0, pl.ds(base, 8), :]
-        k08 = k0_ref[0, 0, pl.ds(base, 8), :]
-        wy18 = wy1_ref[0, 0, pl.ds(base, 8), :]
-        d8 = [ref[0, 0, pl.ds(base, 8), :]
-              for ref in (dr_ref, dg_ref, db_ref)]
-        dx_rows, dy_rows = [], []
-        for r in range(8):
-            x0r = x08[r : r + 1, :]
-            wx1r = wx18[r : r + 1, :]
-            k0r = k08[r : r + 1, :]
-            wy1r = wy18[r : r + 1, :]
-            doutr = [d[r : r + 1, :] for d in d8]      # [1, 128] each
-            idx = (b * num_blocks + t) * num_tiles + base + r
-            if banded:
-                c0 = pl.multiple_of(c0_ref[idx], LANES)
-                cols = pl.ds(c0, col_band)
-            else:
-                cols = pl.ds(0, width)
-            if windowed:
-                r0 = pl.multiple_of(r0_ref[idx], 16)
-                band_r = jnp.concatenate(
-                    [
-                        band[pl.ds(pl.multiple_of(c * band_rows + r0, 16),
-                                   win_rows), cols]
-                        for c in range(3)
-                    ],
-                    axis=0,
-                )                                      # [3KW, WB]
-            else:
-                # see _fwd_kernel: whole band, no false alignment claim
-                band_r = band[:, cols]                 # [3KW, WB]
-            onehot_t = (
-                jnp.where(iw_t == x0r, 1.0 - wx1r, 0.0)
-                + jnp.where(iw_t == x0r + 1, wx1r, 0.0)
-            ).astype(jnp.bfloat16)                     # [WB, 128]
-            xint_t = jax.lax.dot_general(
-                band_r, onehot_t,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # [3KW, 128]
-            v0 = (k0r >= 0) & (k0r <= win_rows - 1)
-            v1 = (k0r + 1 >= 0) & (k0r + 1 <= win_rows - 1)
-            m0 = jnp.where((ik_t == k0r) & v0, 1.0, 0.0)       # [KW, 128]
-            m1 = jnp.where((ik_t == k0r + 1) & v1, 1.0, 0.0)
-            # dxint rows for channel c = dout_c * (m0*(1-wy1) + m1*wy1):
-            # the weight pattern w is channel-independent
-            w = m0 * (1.0 - wy1r) + m1 * wy1r
-            dy = jnp.zeros((1, LANES), jnp.float32)
-            dxint_blocks = []
-            for c in range(3):
-                xint_c = xint_t[c * win_rows : (c + 1) * win_rows, :]
-                tap0 = jnp.sum(xint_c * m0, axis=0, keepdims=True)
-                tap1 = jnp.sum(xint_c * m1, axis=0, keepdims=True)
-                # out_c = (1-wy1)*tap0 + wy1*tap1 -> d/dwy1 = tap1 - tap0
-                dy = dy + doutr[c] * (tap1 - tap0)
-                dxint_blocks.append(w * doutr[c])
-            dxint_t = jnp.concatenate(dxint_blocks, axis=0)  # [3KW, 128]
-            d_onehot_t = jax.lax.dot_general(
-                band_r, dxint_t.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                          # [WB, 128]
-            # onehot = ind0*(1-wx1) + ind1*wx1
-            #   -> d/dwx1 = sum(d_onehot * (ind1 - ind0))
-            at1 = jnp.sum(
-                jnp.where(iw_t == x0r + 1, d_onehot_t, 0.0),
-                axis=0, keepdims=True,
-            )
-            at0 = jnp.sum(
-                jnp.where(iw_t == x0r, d_onehot_t, 0.0),
-                axis=0, keepdims=True,
-            )
-            dx_rows.append(at1 - at0)
-            dy_rows.append(dy)
-        dx_out[0, 0, pl.ds(base, 8), :] = jnp.concatenate(dx_rows, axis=0)
-        dy_out[0, 0, pl.ds(base, 8), :] = jnp.concatenate(dy_rows, axis=0)
+                if with_taps:
+                    dxint_c = dxint_t[c * win_rows : (c + 1) * win_rows, :]
+                    outs[3 + c].append(
+                        jnp.sum(dxint_c * sel, axis=0, keepdims=True)
+                    )
+                    outs[6 + c].append(
+                        jnp.sum(xint_c * dmask, axis=0, keepdims=True)
+                    )
+        for rows, out_ref in zip(outs, out_refs):
+            out_ref[0, 0, pl.ds(base, 8), :] = jnp.concatenate(rows, axis=0)
         return carry
 
     jax.lax.fori_loop(0, num_tiles // 8, tile8, 0)
@@ -564,13 +497,15 @@ def grid_sample_mxu_fused(
         or depth-consistency losses) must use warp_impl 'gather'/'mxu',
         whose img gradients are real.
     """
-    out, _ = _fwd(img, grid, band_pad, rows_per_block, interpret, col_band,
-                  img_is_data)
+    out, _, _ = _run_kernel(img, grid, band_pad, rows_per_block, interpret,
+                            col_band, with_taps=False)
     return out
 
 
-def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None,
-         img_is_data=False):
+def _run_kernel(img, grid, band_pad, rows_per_block, interpret,
+                col_band=None, with_taps=False):
+    """Launch the fused warp kernel. Returns (out, dx_taps, dy_taps);
+    the tap planes are None unless with_taps (the VJP-forward path)."""
     if interpret is None:
         interpret = not _on_tpu()
     starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
@@ -584,6 +519,7 @@ def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None,
             (starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t)
         )
     )
+    num_outputs = 9 if with_taps else 3
     kernel = functools.partial(
         _fwd_kernel,
         num_tiles=shape["num_tiles"],
@@ -593,24 +529,46 @@ def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None,
         width=shape["width"],
         col_band=shape["col_band"],
         num_blocks=shape["num_blocks"],
+        with_taps=with_taps,
     )
     tiles_shape = jax.ShapeDtypeStruct(x0_t.shape, jnp.float32)
-    out_r, out_g, out_b = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
-        grid_spec=_grid_spec(shape, num_inputs=4, num_outputs=3),
-        out_shape=[tiles_shape] * 3,
+        grid_spec=_grid_spec(shape, num_inputs=4, num_outputs=num_outputs),
+        out_shape=[tiles_shape] * num_outputs,
         interpret=interpret,
     )(starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t)
     out = jnp.stack(
-        [_untile(c, shape) for c in (out_r, out_g, out_b)], axis=-1
+        [_untile(c, shape) for c in outs[:3]], axis=-1
     ).astype(img.dtype)
-    residuals = (img, grid)
-    return out, residuals
+    if not with_taps:
+        return out, None, None
+    dx_taps = jnp.stack([_untile(c, shape) for c in outs[3:6]], axis=-1)
+    dy_taps = jnp.stack([_untile(c, shape) for c in outs[6:9]], axis=-1)
+    return out, dx_taps, dy_taps
+
+
+def _fwd(img, grid, band_pad, rows_per_block, interpret, col_band=None,
+         img_is_data=False):
+    """custom_vjp forward rule: one kernel launch computes the warp AND
+    its per-pixel d(out)/dx, d(out)/dy tap planes (pure indicator
+    one-hots + ONE [3KW, WB] x [WB, 256] MXU dot per tile), so the
+    backward pass needs NO kernel at all — just two fused elementwise
+    contractions with the output cotangent. Replaces the former mirror
+    backward kernel (second _prepare + weighted one-hot rebuild + two
+    extra MXU dots), which dominated the warp's measured 18.5 ms/step
+    (ROOFLINE.json r3: 3.7x above the FLOP bound, VPU-bound on the
+    one-hot build)."""
+    out, dx_taps, dy_taps = _run_kernel(
+        img, grid, band_pad, rows_per_block, interpret, col_band,
+        with_taps=True,
+    )
+    return out, (img, grid, dx_taps, dy_taps)
 
 
 def _bwd(band_pad, rows_per_block, interpret, col_band, img_is_data,
          residuals, g):
-    img, grid = residuals
+    img, grid, dx_taps, dy_taps = residuals
     if not img_is_data:
         # loud contract (advisor/VERDICT r2 weak #4): without the caller's
         # explicit assertion that `img` is a data frame, a zero img
@@ -623,49 +581,14 @@ def _bwd(band_pad, rows_per_block, interpret, col_band, img_is_data,
             "loss case). To warp a network output under a gradient, use "
             "warp_impl='gather' or 'mxu' instead."
         )
-    if interpret is None:
-        interpret = not _on_tpu()
-    starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, shape = _prepare(
-        img, grid, band_pad, rows_per_block, col_band
-    )
-    batch, height, width = shape["batch"], shape["height"], shape["width"]
-    rows, num_blocks = shape["rows"], shape["num_blocks"]
-    rw = rows * width  # width is the padded kernel lane width here
-    pad_h = num_blocks * rows - shape["out_h"]
-    pad_w = width - shape["out_w"]
-    gpad = jnp.pad(
-        g.astype(jnp.float32),
-        ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
-    )
-
-    def to_tiles(a):
-        return a.reshape(batch, num_blocks, shape["num_tiles"], LANES)
-
-    douts = [to_tiles(gpad[..., c].reshape(batch, num_blocks, rw))
-             for c in range(3)]
-    kernel = functools.partial(
-        _bwd_kernel,
-        num_tiles=shape["num_tiles"],
-        band_rows=shape["band_rows"],
-        win_rows=shape["win_rows"],
-        plane_rows=shape["plane_rows"],
-        width=width,
-        col_band=shape["col_band"],
-        num_blocks=shape["num_blocks"],
-    )
-    tiles_shape = jax.ShapeDtypeStruct(x0_t.shape, jnp.float32)
-    dx_t, dy_t = pl.pallas_call(
-        kernel,
-        grid_spec=_grid_spec(shape, num_inputs=7, num_outputs=2),
-        out_shape=[tiles_shape] * 2,
-        interpret=interpret,
-    )(starts, c0s, r0s, planes, x0_t, wx1_t, k0_t, wy1_t, *douts)
-    dx = _untile(dx_t, shape)
-    dy = _untile(dy_t, shape)
+    g32 = g.astype(jnp.float32)
+    dx = jnp.sum(g32 * dx_taps, axis=-1)               # [B, H, W]
+    dy = jnp.sum(g32 * dy_taps, axis=-1)
+    height, width = g.shape[1], g.shape[2]
     # x = (gx+1)/2*(W-1); y = (gy+1)/2*(H-1) — W is the TRUE image width
     # (coordinates normalize in the unpadded pixel space)
     d_grid = jnp.stack(
-        [dx * (0.5 * (shape["out_w"] - 1)), dy * (0.5 * (height - 1))],
+        [dx * (0.5 * (width - 1)), dy * (0.5 * (height - 1))],
         axis=-1,
     ).astype(grid.dtype)
     return jnp.zeros_like(img), d_grid
@@ -689,10 +612,14 @@ def fused_warp_flops(
     (`compile().cost_analysis()` reports 0 FLOPs for it), so MFU
     accounting (bench.py) must add the kernel's dot work analytically.
     Counts the x-interpolation dots only (the dominant cost; the y
-    reduction is VPU work): per 128-pixel tile the forward issues ONE
-    [3*win_rows, wb] x [wb, 128] dot and the backward kernel TWO (the
-    mirror x-interp + the d_onehot dot), over ceil(H/rows)*rows padded
-    output rows."""
+    reduction is VPU work). backward=False: the primal (non-diff) kernel,
+    ONE [3*win_rows, wb] x [wb, 128] dot per 128-pixel tile.
+    backward=True: the TOTAL work of a differentiated call — the
+    VJP-forward kernel's [3*win_rows, wb] x [wb, 256] two-tap dot (2x the
+    primal's MACs); the custom-VJP backward itself runs NO kernel (pure
+    elementwise contractions with the emitted gradient-tap planes), so
+    this one number covers fwd+bwd. Over ceil(H/rows)*rows padded output
+    rows."""
     kw = width + (-width) % LANES  # _prepare lane-pads to the kernel width
     wb = resolve_col_band(kw, col_band)
     _, win = band_window_rows(rows_per_block, band_pad)

@@ -693,7 +693,11 @@ class Trainer:
             )
 
     def validate(self, val_batches) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
+        # accumulate per-batch metric DEVICE arrays and read back once at
+        # the end: float(v) inside the loop would force a host sync per
+        # batch per metric — harmless for a smoke split, ~seconds of dead
+        # tunnel time over the 3,426-image Eigen sweep (VERDICT r3 weak 7)
+        sums: Dict[str, list] = {}
         count = 0
         for batch in val_batches:
             # same placement path as training (mesh-sharded when active);
@@ -703,9 +707,14 @@ class Trainer:
                 self.state, self._device_batch(batch, keep_groundtruth=True)
             )
             for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+                sums.setdefault(k, []).append(v)
             count += 1
-        return {k: v / max(count, 1) for k, v in sums.items()}
+        denom = max(count, 1)
+        stacked = {
+            k: jnp.sum(jnp.stack(v)) / denom for k, v in sums.items()
+        }
+        # ONE device->host transfer for the whole sweep
+        return {k: float(v) for k, v in jax.device_get(stacked).items()}
 
     def log_warps(self, batch, step: int = 0, out_dir: str = "./images") -> Dict[str, str]:
         """Render target / warped-ref0 / depth PNGs for the first sample.
