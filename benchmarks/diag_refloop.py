@@ -147,6 +147,8 @@ def run_one(name, steps, eval_every, seed=42, lr=None, extra=None):
         smooth_weight=config.action.smooth_weight,
         smooth_on=config.action.smooth_on,
         depth_norm=config.action.depth_norm,
+        automask_warmup=config.action.automask_warmup,
+        no_ssim=config.action.no_ssim,
         warp_impl=config.action.warp_impl,
         col_band=None,
     )

@@ -174,3 +174,51 @@ class TestAutomaskHandlesCameraLocked:
         with_mask = float(min_reprojection_loss(*args, automask=True))
         without = float(min_reprojection_loss(*args, automask=False))
         assert with_mask < 0.8 * without
+
+
+class TestAutomaskWarmup:
+    """ident_scale semantics (the automask_warmup ramp's loss-level knob)
+    and the automask_keep health metric."""
+
+    def _args(self, occluder="camera_locked"):
+        data = _scene(occluder)
+        return (
+            jnp.asarray(data["tgt"]),
+            [jnp.asarray(data["ref_imgs"][:, 0]),
+             jnp.asarray(data["ref_imgs"][:, 1])],
+            [jnp.asarray(data["groundtruth"])[..., None]],
+            jnp.asarray(data["oxts"]),
+            jnp.asarray(data["intrinsics"]),
+        )
+
+    def test_huge_ident_scale_equals_automask_off(self):
+        args = self._args()
+        warmup = float(
+            min_reprojection_loss(*args, automask=True, ident_scale=1e4)
+        )
+        off = float(min_reprojection_loss(*args, automask=False))
+        np.testing.assert_allclose(warmup, off, rtol=1e-6)
+
+    def test_unit_ident_scale_is_exact_automask(self):
+        args = self._args()
+        scaled = float(
+            min_reprojection_loss(*args, automask=True, ident_scale=1.0)
+        )
+        plain = float(min_reprojection_loss(*args, automask=True))
+        np.testing.assert_allclose(scaled, plain, rtol=1e-7)
+
+    def test_keep_metric_reflects_ident_scale(self):
+        args = self._args()
+        def keep(scale):
+            _, cov = min_reprojection_loss(
+                *args, automask=True, ident_scale=scale,
+                warp_impl="mxu", with_coverage=True,
+            )
+            return float(cov["automask_keep"])
+
+        # unreachable identity term -> every pixel keeps its gradient
+        assert keep(1e4) > 0.999
+        # exact automask on a camera-locked scene -> the locked patch
+        # (and any static remainder) is excluded: strictly fewer kept
+        assert keep(1.0) < keep(1e4) - 0.01
+        assert 0.0 <= keep(1.0) <= 1.0

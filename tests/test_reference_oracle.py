@@ -579,3 +579,112 @@ def test_split_prep_matches_reference(ref, tmp_path):
     ]
     assert their_lines == our_lines
     assert len(our_lines) == 3
+
+
+# ---------------------------------------------------------------------------
+# trainer-level process_batch equivalence (VERDICT r3 next-step 7)
+# ---------------------------------------------------------------------------
+
+
+def test_process_batch_matches_reference(ref, capsys):
+    """Full trainer-wiring oracle: IDENTICAL weights in both stacks, one
+    fixed batch, assert the model outputs AND the total loss match the
+    reference's process_batch (/root/reference/trainer.py:290-313: two
+    depth forwards + pose forward + Losses.forward) against our
+    forward_batch + total_loss. Fails if any of model forward, weight
+    import, disp_to_depth, warp, or the loss reduction drifts.
+
+    All three frames are the SAME image, for two reasons:
+      * our forward_batch folds [tgt, ref0] into ONE 2B depth pass while
+        the reference runs two B passes — under train-mode BatchNorm the
+        batch statistics only coincide when tgt == ref0 (the fold is a
+        documented throughput deviation, train/trainer.py:forward_batch);
+      * the reference's backward-direction target accident
+        (losses.py:199-203 compares against refs[1]) coincides with the
+        intent only when ref0 == ref1 (same trick as
+        test_full_loss_pipeline_matches_reference).
+    The warp is still non-trivial: the pose net emits a non-zero pose, so
+    warped-vs-target differs everywhere depth/pose weights matter."""
+    disp_net = _load_by_path(
+        "_ref_dispnet", os.path.join(REF, "models/depth/disp_net.py")
+    )
+    pose_net = _load_by_path(
+        "_ref_posenet", os.path.join(REF, "models/pose/pose_net.py")
+    )
+    b, h, w = 4, 64, 96  # transform.py:110 hardcodes batch 4
+    img = RNG.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    k = np.broadcast_to(
+        np.array([[70.0, 0, 48], [0, 70.0, 32], [0, 0, 1]], np.float32),
+        (b, 3, 3),
+    ).copy()
+
+    torch.manual_seed(7)
+    depth_t = disp_net.DispNetS().train()
+    pose_t = pose_net.PoseNet(nb_ref_imgs=2).train()
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+    # the reference's process_batch, verbatim wiring (trainer.py:290-313)
+    disps_t = [depth_t(t_img), depth_t(t_img)]
+    poses_t = pose_t(t_img, [t_img, t_img])
+    their_reproj, their_smooth = ref.losses.Losses().forward(
+        t_img, [t_img, t_img], disps_t, poses_t,
+        torch.from_numpy(k), None,
+    )
+    capsys.readouterr()  # swallow the reference's per-index print()s
+
+    import jax
+
+    from unsupervised_pseuso_lidar_tpu.models.registry import build_model
+    from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
+        import_torch_state,
+    )
+    from unsupervised_pseuso_lidar_tpu.train.trainer import forward_batch
+    from unsupervised_pseuso_lidar_tpu.losses.total import total_loss
+
+    depth_m = build_model("DispNetS")
+    pose_m = build_model("PoseNet")
+    dvars = depth_m.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
+    pvars = pose_m.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, h, w, 3)),
+        [jnp.zeros((1, h, w, 3))] * 2,
+    )
+    dp, ds = import_torch_state(
+        dvars["params"], dvars.get("batch_stats", {}),
+        {k_: v.detach().numpy() for k_, v in depth_t.state_dict().items()},
+        "DispNetS",
+    )
+    pp, ps = import_torch_state(
+        pvars["params"], pvars.get("batch_stats", {}),
+        {k_: v.detach().numpy() for k_, v in pose_t.state_dict().items()},
+        "PoseNet",
+    )
+    batch = {
+        "tgt": jnp.asarray(img),
+        "ref_imgs": jnp.stack([jnp.asarray(img)] * 2, axis=1),
+        "intrinsics": jnp.asarray(k),
+    }
+    disps_tgt, disps_ref0, poses_j, _ = forward_batch(
+        depth_m, pose_m,
+        {"depth": dp, "pose": pp}, {"depth": ds, "pose": ps},
+        batch, train=True,
+    )
+
+    # model outputs match the torch forwards bit-for-bit-ish
+    np.testing.assert_allclose(
+        np.asarray(poses_j), poses_t.detach().numpy(), atol=1e-5
+    )
+    for ours_d, theirs_d in zip(disps_tgt, disps_t[0]):
+        np.testing.assert_allclose(
+            np.asarray(ours_d)[..., 0], theirs_d.detach().numpy()[:, 0],
+            atol=1e-4,
+        )
+
+    our_reproj, our_smooth = total_loss(
+        batch["tgt"], [batch["tgt"], batch["tgt"]],
+        [disps_tgt, disps_ref0], poses_j, batch["intrinsics"],
+    )
+    np.testing.assert_allclose(
+        float(our_reproj), float(their_reproj), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        float(our_smooth), float(their_smooth), rtol=2e-3
+    )

@@ -212,6 +212,8 @@ def min_reprojection_loss(
     with_coverage: bool = False,
     mesh=None,
     col_band: int | None = None,
+    ident_scale: jax.Array | float = 1.0,
+    depths_ref0: Sequence[jax.Array] | None = None,
 ):
     """monodepth2-style per-pixel-min reprojection with automasking.
 
@@ -238,25 +240,67 @@ def min_reprojection_loss(
 
     Args:
       depths: list over scales of target-frame depths [B, h, w, 1].
+      depths_ref0: optional list over scales of REF0-frame depths. When
+        given, the loss gains the reference's backward direction
+        (losses.py:194-223): the target is warped into ref0's frame with
+        ref0's depth and the inverted pose, joint-automasked against the
+        same (tgt, ref0) identity pair, and the two directions average.
+        Doubles the depth supervision per step (the second depth forward
+        the trainer already runs, trainer.py:296-299, stops being
+        loss-inert under 'min' mode) — measured to close most of the
+        equal-step convergence gap vs the reference's bidirectional
+        objective on benchmarks/reference_loop.py.
+      ident_scale: multiplier on the identity error before the joint min.
+        1.0 = exact monodepth2 automask. Large values (>= ~1e3) make the
+        identity term unreachable — automask effectively OFF — which the
+        trainer's `automask_warmup` ramp uses to keep photometric
+        supervision on EVERY pixel early in training: the joint min
+        otherwise starves static/occluded regions of gradient from step 0,
+        leaving their depth to the smoothness fill (measured: a static
+        occluder's patch trains ~2x worse under 'min' than 'mean',
+        benchmarks/REPORT.json occlusion_* rows). Constant w.r.t. params
+        either way (the identity error carries no gradient).
+
+    When ``with_coverage`` and ``automask``, the coverage dict gains
+    ``automask_keep``: the fraction of pixels (mean over scales) whose
+    WARP error wins the joint min — i.e. pixels that still receive
+    photometric gradient. A sustained low value means the identity term
+    is absorbing most of the image and depth is training on few pixels.
     """
     batch, height, width, _ = tgt.shape
+    bidirectional = depths_ref0 is not None
     t0 = pose_matrix(poses[:, 0])
     t1 = pose_matrix(poses[:, 1])
     if intrinsics.ndim == 2:
         # see reprojection_loss: per-batch-row intrinsics before tiling
         intrinsics = jnp.broadcast_to(intrinsics[None], (batch, 3, 3))
-    k_tiled = jnp.tile(intrinsics, (2, 1, 1))
     anchor = _data_only_anchor(mesh, warp_impl)
-    src = anchor(jnp.concatenate([refs[0], refs[1]], axis=0))
-    transform = jnp.concatenate([t0, t1], axis=0)
-    tgt2 = anchor(jnp.tile(tgt, (2, 1, 1, 1)))
+    srcs = [refs[0], refs[1]]
+    tgts = [tgt, tgt]
+    transforms = [t0, t1]
+    if bidirectional:
+        # backward leg (the reference's bidirectional structure,
+        # losses.py:194-223): warp the TARGET into ref0's frame with
+        # ref0's depth and the inverted pose — the second depth forward
+        # (trainer.py:296-299) supervises a second viewpoint per step
+        srcs.append(tgt)
+        tgts.append(refs[0])
+        transforms.append(invert_pose(t0))
+    jobs = len(srcs)
+    k_tiled = jnp.tile(intrinsics, (jobs, 1, 1))
+    src = anchor(jnp.concatenate(srcs, axis=0))
+    target = anchor(jnp.concatenate(tgts, axis=0))
+    transform = jnp.concatenate(transforms, axis=0)
 
     if automask:
         # the identity (unwarped) photometric error is scale-invariant:
-        # compute the full-res SSIM+L1 pass once, not once per scale
-        ident = photometric_loss(
-            src,
-            tgt2,
+        # compute the full-res SSIM+L1 pass once, not once per scale.
+        # The [2B] leading rows of (src, target) are exactly (refs, tgt),
+        # so one pass serves both directions: the backward leg's identity
+        # pair (tgt vs ref0, in ref0's frame) is the same image pair.
+        ident_pair = photometric_loss(
+            src[: 2 * batch],
+            target[: 2 * batch],
             no_ssim=no_ssim,
             clip_loss=0.0,
         ).mean(axis=-1)
@@ -266,16 +310,28 @@ def min_reprojection_loss(
         # rounds away against typical photometric errors (~0.1) and the
         # documented 'warp wins ties' behavior would silently not hold.
         ident = (
-            jnp.minimum(ident[:batch], ident[batch:]).astype(jnp.float32)
+            jnp.minimum(
+                ident_pair[:batch], ident_pair[batch:]
+            ).astype(jnp.float32)
             + 1e-5
-        )
+        ) * ident_scale
+        if bidirectional:
+            ident_bwd = (
+                ident_pair[:batch].astype(jnp.float32) + 1e-5
+            ) * ident_scale
 
     total = jnp.asarray(0.0, dtype=tgt.dtype)
     coverages = []
-    for scale_depth in depths:
+    keeps = []
+    for i, scale_depth in enumerate(depths):
         depth_full = _full_res_depth(scale_depth, height, width)
+        depth_maps = [depth_full, depth_full]
+        if bidirectional:
+            depth_maps.append(
+                _full_res_depth(depths_ref0[i], height, width)
+            )
         coords = warp_coords(
-            anchor(jnp.tile(depth_full, (2, 1, 1))), transform, k_tiled
+            anchor(jnp.concatenate(depth_maps, axis=0)), transform, k_tiled
         )
         warped = sample_with_impl(
             src, coords, impl=warp_impl, mesh=mesh, col_band=col_band,
@@ -290,22 +346,39 @@ def min_reprojection_loss(
             )
         err = photometric_loss(
             warped,
-            tgt2,
+            target,
             no_ssim=no_ssim,
             clip_loss=0.0,
         )
-        err = err.mean(axis=-1)  # [2B, H, W]
-        err = jnp.minimum(err[:batch], err[batch:])  # per-pixel min over refs
+        err = err.mean(axis=-1)  # [jobs*B, H, W]
+        # per-pixel min over refs (forward direction)
+        err_f = jnp.minimum(err[:batch], err[batch : 2 * batch])
         if automask:
             # joint min with the identity error (see docstring): static /
             # occluded pixels contribute the constant ident term, never 0
-            err = jnp.minimum(err, ident)
-        total = total + jnp.mean(err)
+            keep = jnp.mean((err_f <= ident).astype(jnp.float32))
+            err_f = jnp.minimum(err_f, ident)
+        scale_loss = jnp.mean(err_f)
+        if bidirectional:
+            err_b = err[2 * batch :]
+            if automask:
+                keep = 0.5 * (
+                    keep + jnp.mean((err_b <= ident_bwd).astype(jnp.float32))
+                )
+                err_b = jnp.minimum(err_b, ident_bwd)
+            scale_loss = 0.5 * (scale_loss + jnp.mean(err_b))
+        if automask:
+            keeps.append(keep)
+        total = total + scale_loss
     loss = total / len(depths)
     if with_coverage:
         coverage = {
             k: jnp.mean(jnp.stack([c[k] for c in coverages]))
             for k in coverages[0]
         }
+        if keeps:
+            # fraction of pixels whose warp error wins the joint min —
+            # the pixels that still carry photometric gradient
+            coverage["automask_keep"] = jnp.mean(jnp.stack(keeps))
         return loss, coverage
     return loss

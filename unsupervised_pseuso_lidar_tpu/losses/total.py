@@ -59,6 +59,9 @@ def total_loss(
     mesh=None,
     col_band: int | None = None,
     depth_norm: bool = False,
+    ident_scale: jax.Array | float = 1.0,
+    no_ssim: bool = False,
+    min_bidirectional: bool = True,
 ):
     """Compute (reprojection_loss, smoothness_loss)
     — or (reprojection_loss, smoothness_loss, coverage_dict) when
@@ -84,6 +87,14 @@ def total_loss(
         (see _mean_normalize) — kills the uniform-scale runaway; the pose
         net then learns translation in scene-relative units. Off by
         default (reference parity); the production objective turns it on.
+      ident_scale: mode='min' only — multiplier on the automask identity
+        term (see min_reprojection_loss; the trainer's automask_warmup
+        ramp drives it from ~1e4 down to 1).
+      min_bidirectional: mode='min' only — add the reference's backward
+        direction (warp tgt into ref0's frame with ref0's depth,
+        losses.py:194-223) so the second depth forward carries loss
+        signal; measured to close most of the equal-step convergence gap
+        on benchmarks/reference_loop.py. On by default.
     """
     depths = [[disp_to_depth(d) for d in frame] for frame in disparities]
     if depth_norm:
@@ -99,6 +110,8 @@ def total_loss(
         loss_reproj = min_reprojection_loss(
             tgt, refs, depths[0], poses, intrinsics, warp_impl=warp_impl,
             with_coverage=with_coverage, mesh=mesh, col_band=col_band,
+            ident_scale=ident_scale, no_ssim=no_ssim,
+            depths_ref0=depths[1] if min_bidirectional else None,
         )
     else:
         loss_reproj = reprojection_loss(

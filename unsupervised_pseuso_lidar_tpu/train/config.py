@@ -99,6 +99,21 @@ class ActionConfig:
     # split's OXTS odometry, eval/pose.py) during per-epoch validation
     eval_pose: bool = False
     loss_mode: str = "mean"
+    # loss_mode 'min' only: ramp the automask identity term from
+    # unreachable down to exact over this many steps (0 = off = exact
+    # monodepth2 automask from step 0). Early full-image photometric
+    # supervision lets static/occluded regions learn depth before the
+    # automask starts excluding them (benchmarks/REPORT.json occlusion_*
+    # rows; train/trainer.make_train_step_body).
+    automask_warmup: int = 0
+    # loss_mode 'min' only: drop the SSIM blend from the photometric error
+    # (pure L1, the reference's active error model). SSIM's windowed
+    # statistics can slow early convergence on clean/low-noise imagery.
+    no_ssim: bool = False
+    # loss_mode 'min' only: add the reference's backward direction (warp
+    # tgt into ref0's frame with ref0's depth) so the second depth forward
+    # supervises a second viewpoint per step (losses/reprojection.py).
+    min_bidirectional: bool = True
     smooth_weight: float = 1.0
     smooth_on: str = "depth"  # 'depth' = reference parity; 'disp' = monodepth2
     # per-image mean-normalize depth before warping (losses/total.py
@@ -201,6 +216,9 @@ class Config:
             eval_protocol=act_raw.get("eval_protocol", "none"),
             eval_pose=bool(act_raw.get("eval_pose", False)),
             loss_mode=act_raw.get("loss_mode", "mean"),
+            automask_warmup=int(act_raw.get("automask_warmup", 0)),
+            no_ssim=bool(act_raw.get("no_ssim", False)),
+            min_bidirectional=bool(act_raw.get("min_bidirectional", True)),
             smooth_weight=float(act_raw.get("smooth_weight", 1.0)),
             smooth_on=act_raw.get("smooth_on", "depth"),
             depth_norm=bool(act_raw.get("depth_norm", False)),

@@ -237,6 +237,9 @@ def make_train_step_body(
     smooth_weight: float = 1.0,
     smooth_on: str = "depth",
     depth_norm: bool = False,
+    automask_warmup: int = 0,
+    no_ssim: bool = False,
+    min_bidirectional: bool = True,
     supervised_weight: float = 0.0,
     warp_impl: str = "mxu",
     col_band: Optional[int] = None,
@@ -280,6 +283,20 @@ def make_train_step_body(
         # A sustained drop below 1.0 means out-of-band taps are reading
         # zero and biasing the loss — widen band_pad / disable banding.
         want_coverage = warp_impl in ("mxu", "pallas")
+        if automask_warmup and loss_mode == "min":
+            # automask warmup: ramp the identity term down from
+            # unreachable (~1e4x) to exact over the first automask_warmup
+            # steps, so EVERY pixel carries photometric gradient early.
+            # The joint-min automask otherwise starves static/occluded
+            # regions from step 0 and smoothness fills them with the
+            # background's depth (measured ~2x worse than 'mean' inside a
+            # static occluder, benchmarks/REPORT.json occlusion_* rows).
+            ramp = jnp.clip(
+                step_idx.astype(jnp.float32) / automask_warmup, 0.0, 1.0
+            )
+            ident_scale = 10.0 ** (4.0 * (1.0 - ramp))
+        else:
+            ident_scale = 1.0
         result = total_loss(
             batch["tgt"],
             [batch["ref_imgs"][:, 0], batch["ref_imgs"][:, 1]],
@@ -292,6 +309,9 @@ def make_train_step_body(
             depth_norm=depth_norm,
             warp_impl=warp_impl,
             col_band=col_band,
+            ident_scale=ident_scale,
+            no_ssim=no_ssim,
+            min_bidirectional=min_bidirectional,
             with_coverage=want_coverage,
             # pallas_call does not partition under GSPMD; under a mesh the
             # loss wraps the fused kernel in shard_map over "data" (batch
@@ -586,6 +606,9 @@ class Trainer:
             smooth_weight=config.action.smooth_weight,
             smooth_on=config.action.smooth_on,
             depth_norm=config.action.depth_norm,
+            automask_warmup=config.action.automask_warmup,
+            no_ssim=config.action.no_ssim,
+            min_bidirectional=config.action.min_bidirectional,
             supervised_weight=config.action.supervised_weight,
             warp_impl=config.action.warp_impl,
             col_band=config.action.warp_col_band or None,
