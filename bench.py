@@ -96,6 +96,15 @@ def main(argv=None):
                         "less horizontal-flow coverage")
     parser.add_argument("--depth-model", default="DispResNet",
                         help="depth net (DispResNet | DispNetS | StnDispNet)")
+    parser.add_argument("--loss-mode", default="min",
+                        choices=("min", "mean"),
+                        help="training objective: 'min' = the production "
+                        "min+automask+bidirectional objective "
+                        "(configs/tpu_v5e.yaml loss_mode — the headline "
+                        "must time what training ships); 'mean' = the "
+                        "reference-literal L1 objective (cheaper: no SSIM, "
+                        "no identity pass — the r2/r3 headline rows "
+                        "unknowingly timed this)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     args.steps = max(1, args.steps)
@@ -189,10 +198,20 @@ def main(argv=None):
         config, jax.random.PRNGKey(0), steps_per_epoch=1000, dtype=dtype
     )
     col_band = args.col_band or None
+    # the full production objective from configs/tpu_v5e.yaml — the
+    # headline times the step users actually train with (loss_mode 'min'
+    # incl. SSIM + identity pass + bidirectional leg + depth_norm);
+    # --loss-mode mean opts into the cheaper reference-literal objective
+    objective = dict(
+        loss_mode=args.loss_mode,
+        depth_norm=args.loss_mode == "min",
+        smooth_on="disp",
+        smooth_weight=0.001,
+    )
     if args.unroll > 1:
         step = make_multi_step(
             depth_model, pose_model, tx, args.unroll, warp_impl=args.warp,
-            col_band=col_band,
+            col_band=col_band, **objective,
         )
         raws = [
             synthetic_triplet_batch(args.batch, args.height, args.width, seed=i)
@@ -205,7 +224,7 @@ def main(argv=None):
     else:
         step = make_train_step(
             depth_model, pose_model, tx, warp_impl=args.warp,
-            col_band=col_band,
+            col_band=col_band, **objective,
         )
         raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
         batch = {
@@ -238,7 +257,7 @@ def main(argv=None):
     if args.unroll > 1:
         step1 = make_train_step(depth_model, pose_model, tx,
                                 warp_impl=args.warp, col_band=col_band,
-                                donate=False)
+                                donate=False, **objective)
         batch1 = {k: v[0] for k, v in batch.items()}
         flops_step = step_flops(step1, state, batch1)
     else:

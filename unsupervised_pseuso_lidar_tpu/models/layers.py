@@ -103,24 +103,6 @@ class TorchConv(nn.Module):
         ):
             return self._s2d_conv(x)
         fan_in = self.kernel_size * self.kernel_size * x.shape[-1]
-        if (
-            self.features == 1
-            and self.stride == 1
-            and self.kernel_size % 2 == 1
-            and x.shape[1] >= self.kernel_size
-            and x.shape[2] >= self.kernel_size
-        ):
-            # disparity heads (DispNetS predict convs): lane-padding-free
-            # stencil formulation, parameters under Conv_0 as usual
-            kernel, bias = _ConvParams(
-                1, x.shape[-1], kernel_size=self.kernel_size,
-                use_bias=self.use_bias, kernel_init=self.kernel_init,
-                bias_init=self.bias_init, name="Conv_0",
-            )()
-            return _co1_stencil(
-                x, kernel, bias, pad_mode="zero",
-                dtype=self.dtype or x.dtype,
-            )
         return nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -261,43 +243,6 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-def _co1_stencil(x, kernel, bias, pad_mode: str, dtype) -> jax.Array:
-    """Single-output-channel odd-k stride-1 conv as a k*k-shift VPU stencil.
-
-    A cout=1 conv lane-pads its output 128x on the TPU MXU — XLA's layouts
-    make it the single worst op family of the b12 640x192 train step
-    (ROOFLINE.json r3: fwd_3x3_co1 5.0 ms + grad_filter_co1 2.0 ms for
-    0.85 GFLOPs — ~0.2% of the step's FLOPs on ~13% of its time). The
-    same math as k*k shifted channel-contractions stays in the unpadded
-    NHWC layout on the VPU: one padded copy of the input, k*k static
-    slices each reduced over cin (fusible elementwise-reduce, no MXU, no
-    lane padding), f32 accumulation. Gradients lower to the transposed
-    stencil the same way (no conv_grad with a 1-channel operand).
-
-    kernel: [k, k, cin, 1]; bias: [1] or None; pad_mode: 'reflect'
-    (models/layers.py Conv3x3) or 'zero' (torch Conv2d padding)."""
-    batch, height, width, cin = x.shape
-    k = kernel.shape[0]
-    pad = (k - 1) // 2
-    mode = "reflect" if pad_mode == "reflect" else "constant"
-    xp = jnp.pad(
-        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=mode
-    ).astype(dtype)
-    w = kernel.astype(dtype)[..., 0]  # [k, k, cin]
-    acc = jnp.zeros((batch, height, width), jnp.float32)
-    for dy in range(k):
-        for dx in range(k):
-            acc = acc + jax.lax.dot_general(
-                xp[:, dy : dy + height, dx : dx + width, :],
-                w[dy, dx],
-                (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    if bias is not None:
-        acc = acc + bias.astype(jnp.float32)[0]
-    return acc[..., None].astype(dtype)
-
-
 def _up2_phase_kernel(w: jax.Array) -> jax.Array:
     """Collapse conv3x3 ∘ nearest-up2 into one half-res conv kernel.
 
@@ -363,15 +308,6 @@ class Conv3x3(nn.Module):
     def __call__(self, x):
         if self.pre_upsample2x:
             return self._up2_fused(x)
-        if self.features == 1 and x.shape[1] >= 3 and x.shape[2] >= 3:
-            # disparity heads: the lane-padding-free stencil formulation
-            # (see _co1_stencil); parameters under Conv_0 as usual
-            kernel, bias = _ConvParams(1, x.shape[-1], name="Conv_0")()
-            return _co1_stencil(
-                x, kernel, bias,
-                pad_mode="reflect" if self.use_refl else "zero",
-                dtype=self.dtype or x.dtype,
-            )
         conv = nn.Conv(
             self.features,
             (3, 3),
