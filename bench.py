@@ -89,8 +89,9 @@ def main(argv=None):
     parser.add_argument("--warp", default="pallas",
                         choices=("pallas", "mxu", "gather"),
                         help="photometric warp implementation")
-    parser.add_argument("--col-band", type=int, default=0,
-                        help="fused-warp column-window width (0 = auto: "
+    parser.add_argument("--col-band", type=int, default=256,
+                        help="fused-warp column-window width (default 256 "
+                        "= configs/tpu_v5e.yaml warp_col_band; 0 = auto: "
                         "384 at lane-aligned widths >= 512); positive "
                         "multiple of 128. Narrower = fewer warp FLOPs, "
                         "less horizontal-flow coverage")

@@ -37,8 +37,15 @@ def _randomize(tree, seed=0):
 @pytest.mark.parametrize(
     "model_name,pose,shape",
     [
-        ("DispResNet", False, (1, 64, 96, 3)),
-        ("DispNetS", False, (1, 128, 128, 3)),
+        # the two big-CNN roundtrips are compile-heavy on the 1-core CI
+        # host (~29s/24s warm) -> slow tier; the structural mapping they
+        # share is covered fast by the Stn/Pose rows
+        pytest.param(
+            "DispResNet", False, (1, 64, 96, 3), marks=pytest.mark.slow
+        ),
+        pytest.param(
+            "DispNetS", False, (1, 128, 128, 3), marks=pytest.mark.slow
+        ),
         ("StnDispNet", False, (1, 64, 96, 3)),
         ("PoseNet", True, (1, 64, 96, 3)),
         ("PoseFc", True, (1, 128, 128, 3)),

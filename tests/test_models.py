@@ -81,6 +81,7 @@ class TestTorchLayers:
                 np.asarray(g1), np.asarray(g2), atol=1e-5
             )
 
+    @pytest.mark.slow  # ~22s warm on the 1-core host (compile-bound)
     def test_conv3x3_pre_upsample2x_matches_unfused(self):
         # pre_upsample2x folds conv3x3(upsample2x_nearest(x)) into one
         # half-res 4-phase conv + depth-to-space (models/layers.py
@@ -229,6 +230,7 @@ class TestDepthModels:
         # batch_stats collection exists (BatchNorm present)
         assert "batch_stats" in variables
 
+    @pytest.mark.slow  # ~19s warm on the 1-core host (compile-bound)
     def test_dispresnet_odd_size(self):
         """Non-multiple-of-32 inputs (the raw KITTI 1242x375 geometry):
         the decoder crops its 2x upsample to the encoder skip (torch

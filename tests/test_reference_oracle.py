@@ -586,6 +586,7 @@ def test_split_prep_matches_reference(ref, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # ~33s warm: two full torch CNN forwards + jax compile
 def test_process_batch_matches_reference(ref, capsys):
     """Full trainer-wiring oracle: IDENTICAL weights in both stacks, one
     fixed batch, assert the model outputs AND the total loss match the

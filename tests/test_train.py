@@ -825,6 +825,7 @@ class TestMultiStepMesh:
 
 
 class TestShardedValidate:
+    @pytest.mark.slow  # ~28s warm: 8-device mesh compile of the eval step
     def test_validate_uses_mesh_placement(self, tmp_path):
         assert len(jax.devices()) >= 8
         mesh = make_mesh(8)

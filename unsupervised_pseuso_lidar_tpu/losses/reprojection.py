@@ -252,7 +252,11 @@ def min_reprojection_loss(
         objective on benchmarks/reference_loop.py.
       ident_scale: multiplier on the identity error before the joint min.
         1.0 = exact monodepth2 automask. Large values (>= ~1e3) make the
-        identity term unreachable — automask effectively OFF — which the
+        identity term unreachable wherever it is nonzero — automask
+        effectively OFF for real scene content, while EXACT-zero identity
+        pixels (a camera-locked object: the one case photometric
+        supervision is wrong for) stay masked at any scale, because the
+        ramp is multiplicative. This is deliberate — which the
         trainer's `automask_warmup` ramp uses to keep photometric
         supervision on EVERY pixel early in training: the joint min
         otherwise starves static/occluded regions of gradient from step 0,
