@@ -189,9 +189,18 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
     # gather warp: the turntable's 10-degree steps produce flows beyond
     # the banded kernels' training envelope, and this is an accuracy
     # artifact, not a throughput one
+    # depth_norm: the turntable scene's metric scale is ~1 unit (0.17/frame
+    # ego-arc at 10 deg/frame), far from disp_to_depth's ~0.2 raw-init
+    # depth — with torch-parity init (constant sigma~0.47 at step 0) every
+    # raw-depth warp sample lands out of frame and the 'mean' objective
+    # parks in its zeros-warp basin (loss flat at mean|tgt|, r4 measured).
+    # Per-image mean-normalized depth warps at scale ~1 from step 0 (the
+    # production conditioning, losses/total.py:_mean_normalize); the known
+    # OXTS poses are already in scene units so nothing else moves.
     step = make_train_step(
         depth_model, pose_model, tx, donate=False, warp_impl="gather",
         semi_sup_pose=True, smooth_on="disp", smooth_weight=1e-3,
+        depth_norm=True,
     )
 
     batches = []
@@ -215,6 +224,14 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
             train=False,
         )
         depth = disp_to_depth(disps[0][..., 0])
+        # warp with the SAME per-image mean-normalized depth the training
+        # objective uses (monocular depth is scale-ambiguous; the raw
+        # 1/(10s+0.01) scale is meaningless in the turntable's units)
+        from unsupervised_pseuso_lidar_tpu.losses.total import (
+            _mean_normalize,
+        )
+
+        depth = _mean_normalize(depth)
         t0 = pose_matrix(b["oxts"][:, 0])
         warped = inverse_warp_from_matrix(
             ref, depth, t0, b["intrinsics"], impl="gather"
