@@ -186,6 +186,54 @@ class TestTorchLayers:
             atol=1e-6,
         )
 
+    def test_s2d_tail_matches_plain(self):
+        # DepthDecoder s2d_tail computes the full-res tail (pre-upsample
+        # ConvBlock + ELU + disp head + sigmoid) in the space-to-depth
+        # phase domain — exact same math and parameters as the plain
+        # full-res path, including the reflect border ring, for even AND
+        # odd (raw-KITTI-geometry) input shapes, fwd and bwd.
+        from unsupervised_pseuso_lidar_tpu.models.depth.resnet_dispnet import (
+            DispResNet,
+        )
+
+        for shape in [(1, 64, 96, 3), (1, 47, 83, 3)]:
+            x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
+            plain = DispResNet(s2d_tail=False)
+            s2d = DispResNet(s2d_tail=True)
+            variables = plain.init(jax.random.PRNGKey(1), x, train=False)
+            assert jax.tree_util.tree_structure(
+                s2d.init(jax.random.PRNGKey(1), x, train=False)
+            ) == jax.tree_util.tree_structure(variables)
+            ref = plain.apply(variables, x, train=False)[0]
+            got = s2d.apply(variables, x, train=False)[0]
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-6
+            )
+
+        def scalar_loss(model):
+            def f(params):
+                out = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, train=False,
+                )[0]
+                return jnp.sum(jnp.sin(7.0 * out))
+            return f
+
+        g1 = jax.grad(scalar_loss(plain))(variables["params"])
+        g2 = jax.grad(scalar_loss(s2d))(variables["params"])
+        # grads agree to float reassociation noise (verified 1e-12 in
+        # f64): compare RELATIVE to each leaf's magnitude — decoder-tail
+        # grad sums reach O(1e4) here
+        rel = jax.tree.map(
+            lambda a, b: float(
+                jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12)
+            ),
+            g1, g2,
+        )
+        assert max(jax.tree_util.tree_leaves(rel)) < 1e-5
+
     def test_conv_transpose_matches_torch(self):
         torch = pytest.importorskip("torch")
         x = RNG.uniform(-1, 1, (2, 6, 8, 4)).astype(np.float32)

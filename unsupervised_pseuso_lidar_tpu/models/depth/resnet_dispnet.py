@@ -17,7 +17,12 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unsupervised_pseuso_lidar_tpu.models.layers import Conv3x3, ConvBlock, TorchConv
+from unsupervised_pseuso_lidar_tpu.models.layers import (
+    Conv3x3,
+    ConvBlock,
+    TorchConv,
+    s2d_interleave,
+)
 from unsupervised_pseuso_lidar_tpu.ops.resample import upsample2x_nearest
 
 # torchvision's ResNet init (the encoder distribution the reference
@@ -182,6 +187,16 @@ class DepthDecoder(nn.Module):
     scales: Sequence[int] = (0, 1, 2, 3)
     num_output_channels: int = 1
     use_skips: bool = True
+    # Run the full-res tail (the i==0 ConvBlock + disp head) in the
+    # space-to-depth phase domain [B, h, w, 4C] instead of materializing
+    # [B, 2h, 2w, C]: XLA lays full-res 16-channel activations out
+    # batch-minor (24 of 128 lanes used, 5.3x physical inflation), which
+    # made the tail's elementwise ops + depth-to-space copies + co1 head
+    # backward ~10 ms of the 53 ms b12 640x192 train step (r5 trace,
+    # benchmarks/conv_diag.py). Exact same math (bias/ELU/sigmoid commute
+    # with depth-to-space; conv via _s2d_full3x3_kernel + reflect ring),
+    # identical parameters/checkpoint paths either way.
+    s2d_tail: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -198,6 +213,7 @@ class DepthDecoder(nn.Module):
         outputs = {}
         x = input_features[-1]
         for i in range(4, -1, -1):
+            s2d = self.s2d_tail and i == 0
             x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
             if self.use_skips and i > 0:
                 x = upsample2x_nearest(x)
@@ -215,14 +231,20 @@ class DepthDecoder(nn.Module):
                 # no skip concat between upsample and conv: fuse the
                 # upsample into the conv (half-res phase conv — the
                 # full-res [B, 2h, 2w, C] activation never materializes;
-                # identical parameters and math, models/layers.Conv3x3)
+                # identical parameters and math, models/layers.Conv3x3).
+                # With s2d_tail the result STAYS in the phase domain.
                 x = ConvBlock(
-                    num_ch_dec[i], pre_upsample2x=True, dtype=self.dtype
+                    num_ch_dec[i], pre_upsample2x=True, emit_s2d=s2d,
+                    dtype=self.dtype,
                 )(x)
             if i in self.scales:
-                disp = nn.sigmoid(
-                    Conv3x3(self.num_output_channels, dtype=self.dtype)(x)
-                )
+                head = Conv3x3(
+                    self.num_output_channels, s2d_domain=s2d,
+                    dtype=self.dtype,
+                )(x)
+                if s2d:
+                    head = s2d_interleave(head, self.num_output_channels)
+                disp = nn.sigmoid(head)
                 if image_shape is not None:
                     h = -(-image_shape[0] // (2 ** i))  # ceil div
                     w = -(-image_shape[1] // (2 ** i))
@@ -238,6 +260,7 @@ class DispResNet(nn.Module):
     num_layers: int = 18
     scales: Sequence[int] = (0, 1, 2, 3)
     all_scales: bool = False
+    s2d_tail: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -245,9 +268,9 @@ class DispResNet(nn.Module):
         features = ResnetEncoder(self.num_layers, dtype=self.dtype)(
             x, train=train
         )
-        outputs = DepthDecoder(scales=self.scales, dtype=self.dtype)(
-            features, image_shape=x.shape[1:3]
-        )
+        outputs = DepthDecoder(
+            scales=self.scales, s2d_tail=self.s2d_tail, dtype=self.dtype
+        )(features, image_shape=x.shape[1:3])
         if self.all_scales:
             return [outputs[s] for s in sorted(outputs)]
         return [outputs[0]]

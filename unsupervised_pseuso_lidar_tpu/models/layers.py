@@ -243,6 +243,88 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def s2d_interleave(x4: jax.Array, co: int) -> jax.Array:
+    """Phase-domain [B, h, w, 4co] (channel groups (a, b)-major: group
+    p = 2a + b holds full-res pixel (2y+a, 2x+b)) -> full-res
+    [B, 2h, 2w, co] depth-to-space."""
+    batch, h, w, _ = x4.shape
+    return (
+        x4.reshape(batch, h, w, 2, 2, co)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(batch, 2 * h, 2 * w, co)
+    )
+
+
+def s2d_block(x: jax.Array) -> jax.Array:
+    """Full-res [B, 2h, 2w, c] -> phase-domain [B, h, w, 4c], channel
+    groups (a, b)-major (inverse of s2d_interleave)."""
+    batch, height, width, c = x.shape
+    return (
+        x.reshape(batch, height // 2, 2, width // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(batch, height // 2, width // 2, 4 * c)
+    )
+
+
+def _s2d_ring_update(
+    out4: jax.Array,
+    co: int,
+    top: jax.Array,
+    bottom: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+) -> jax.Array:
+    """Write full-res border strips into a phase-domain tensor.
+
+    out4: [B, h, w, 4co] phase-major (group p = 2a + b). top/bottom:
+    [B, 1, 2w, co] full-res rows 0 / 2h-1 (phases a=0 / a=1). left/right:
+    [B, 2h, 1, co] full-res cols 0 / 2w-1 (phases b=0 / b=1). Write order
+    top, bottom, left, right — the column strips win the corners, exactly
+    like the full-res dynamic_update_slice sequence they replace."""
+    batch, h, w, _ = out4.shape
+    row = lambda s: s.reshape(batch, 1, w, 2 * co)
+    out4 = out4.at[:, :1, :, 0 : 2 * co].set(row(top))
+    out4 = out4.at[:, -1:, :, 2 * co : 4 * co].set(row(bottom))
+    lcol = left.reshape(batch, h, 2, 1, co)
+    out4 = out4.at[:, :, :1, 0:co].set(lcol[:, :, 0])
+    out4 = out4.at[:, :, :1, 2 * co : 3 * co].set(lcol[:, :, 1])
+    rcol = right.reshape(batch, h, 2, 1, co)
+    out4 = out4.at[:, :, -1:, co : 2 * co].set(rcol[:, :, 0])
+    out4 = out4.at[:, :, -1:, 3 * co : 4 * co].set(rcol[:, :, 1])
+    return out4
+
+
+def _s2d_full3x3_kernel(w: jax.Array) -> jax.Array:
+    """Express a FULL-RES 3x3/s1 conv as a phase-domain conv over
+    space-to-depth input: [3, 3, ci, co] -> [3, 3, 4ci, 4co].
+
+    out_s2d[y, x, (a,b), o] = full-res out[2y+a, 2x+b, o]; input phase
+    group (py, px) of block (y+P-1, x+Q-1) holds full-res pixel
+    (2(y+P-1)+py, 2(x+Q-1)+px), which is conv tap (dy, dx) =
+    (2P+py-a-1, 2Q+px-b-1) of output pixel (2y+a, 2x+b). Taps outside
+    [0, 3) are structural zeros (each output phase uses 9 of the 36
+    (P, Q, phase) combos). Same math as the full-res conv with ZERO
+    padding; the reflect border ring is fixed separately."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4, ci, 4, co), w.dtype)
+    for pos in range(3):
+        for py in range(2):
+            for a in range(2):
+                dy = 2 * pos + py - a - 1
+                if not 0 <= dy < 3:
+                    continue
+                for q in range(3):
+                    for px in range(2):
+                        for b in range(2):
+                            dx = 2 * q + px - b - 1
+                            if not 0 <= dx < 3:
+                                continue
+                            out = out.at[pos, q, 2 * py + px, :, 2 * a + b, :].set(
+                                w[dy, dx]
+                            )
+    return out.reshape(3, 3, 4 * ci, 4 * co)
+
+
 def _up2_phase_kernel(w: jax.Array) -> jax.Array:
     """Collapse conv3x3 ∘ nearest-up2 into one half-res conv kernel.
 
@@ -302,10 +384,24 @@ class Conv3x3(nn.Module):
     features: int
     use_refl: bool = True
     pre_upsample2x: bool = False
+    # emit_s2d (with pre_upsample2x): return the PHASE-DOMAIN result
+    # [B, h, w, 4co] instead of interleaving to [B, 2h, 2w, co]. At the
+    # decoder's full-res tail XLA lays [24, 192, 640, 16] out batch-minor
+    # (24 lanes of 128 used -> 5.3x physical inflation); keeping the tail
+    # in the compact phase domain removed ~6 ms of the b12 640x192 train
+    # step (elementwise ops, depth-to-space copies, and the co1 head's
+    # backward all shrink — benchmarks/conv_diag.py, r5).
+    emit_s2d: bool = False
+    # s2d_domain: consume AND produce phase-domain tensors — the same
+    # full-res 3x3 reflect-pad conv computed without ever materializing
+    # the full-res activation (kernel: _s2d_full3x3_kernel).
+    s2d_domain: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d_domain:
+            return self._s2d_domain_conv(x)
         if self.pre_upsample2x:
             return self._up2_fused(x)
         conv = nn.Conv(
@@ -350,12 +446,6 @@ class Conv3x3(nn.Module):
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )  # [B, h, w, 4co], phase (a, b) major
-        full = (
-            out4.reshape(batch, height, width, 2, 2, co)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(batch, 2 * height, 2 * width, co)
-        )
-        full = full + bias.astype(dtype)
 
         # border ring: exact reflect-pad values from upsampled edge strips
         k = kernel.astype(dtype)
@@ -377,6 +467,17 @@ class Conv3x3(nn.Module):
         bottom = conv_strip(reflect_pad1(up2(x[:, -1:])))[:, -1:]
         left = conv_strip(reflect_pad1(up2(x[:, :, :1])))[:, :, :1]
         right = conv_strip(reflect_pad1(up2(x[:, :, -1:])))[:, :, -1:]
+
+        if self.emit_s2d:
+            out4 = out4 + jnp.tile(bias, 4).astype(dtype)
+            return _s2d_ring_update(out4, co, top, bottom, left, right)
+
+        full = (
+            out4.reshape(batch, height, width, 2, 2, co)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(batch, 2 * height, 2 * width, co)
+        )
+        full = full + bias.astype(dtype)
         full = jax.lax.dynamic_update_slice_in_dim(full, top, 0, axis=1)
         full = jax.lax.dynamic_update_slice_in_dim(
             full, bottom, 2 * height - 1, axis=1
@@ -385,6 +486,48 @@ class Conv3x3(nn.Module):
         return jax.lax.dynamic_update_slice_in_dim(
             full, right, 2 * width - 1, axis=2
         )
+
+    def _s2d_domain_conv(self, x4):
+        """Phase-domain [B, h, w, 4ci] -> [B, h, w, 4co]: the full-res
+        3x3/s1 reflect-pad conv without materializing full res (bulk via
+        _s2d_full3x3_kernel zero-pad conv; reflect ring recomputed
+        exactly from interleaved edge strips)."""
+        ci = x4.shape[-1] // 4
+        co = self.features
+        kernel, bias = _ConvParams(co, ci, name="Conv_0")()
+        dtype = self.dtype or x4.dtype
+        ks = _s2d_full3x3_kernel(kernel).astype(dtype)
+        out4 = jax.lax.conv_general_dilated(
+            x4.astype(dtype), ks,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.tile(bias, 4).astype(dtype)
+        if not self.use_refl:
+            return out4
+
+        k = kernel.astype(dtype)
+
+        def conv_strip(strip):
+            out = jax.lax.conv_general_dilated(
+                strip.astype(dtype), k,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out + bias.astype(dtype)
+
+        top = conv_strip(reflect_pad1(s2d_interleave(x4[:, :1], ci)))[:, :1]
+        bottom = conv_strip(
+            reflect_pad1(s2d_interleave(x4[:, -1:], ci))
+        )[:, -1:]
+        left = conv_strip(
+            reflect_pad1(s2d_interleave(x4[:, :, :1], ci))
+        )[:, :, :1]
+        right = conv_strip(
+            reflect_pad1(s2d_interleave(x4[:, :, -1:], ci))
+        )[:, :, -1:]
+        return _s2d_ring_update(out4, co, top, bottom, left, right)
 
 
 class ConvBlock(nn.Module):
@@ -397,14 +540,18 @@ class ConvBlock(nn.Module):
 
     features: int
     pre_upsample2x: bool = False
+    emit_s2d: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
+        # ELU is elementwise, so it commutes with depth-to-space: applying
+        # it in the phase domain (emit_s2d) is exact.
         return nn.elu(
             Conv3x3(
                 self.features,
                 pre_upsample2x=self.pre_upsample2x,
+                emit_s2d=self.emit_s2d,
                 dtype=self.dtype,
             )(x)
         )
