@@ -103,9 +103,14 @@ def main(argv=None):
                         "min+automask+bidirectional objective "
                         "(configs/tpu_v5e.yaml loss_mode — the headline "
                         "must time what training ships); 'mean' = the "
-                        "reference-literal L1 objective (cheaper: no SSIM, "
-                        "no identity pass — the r2/r3 headline rows "
-                        "unknowingly timed this)")
+                        "reference-literal REPROJECTION term (plain L1, "
+                        "no SSIM, no identity pass — the r2/r3 headline "
+                        "rows unknowingly timed this). NOTE: smoothing "
+                        "stays the production smooth_on='disp' w=0.001 in "
+                        "both modes (the reference smooths depth at w=1; "
+                        "timing-equivalent, accuracy rows use "
+                        "benchmarks/reference_loop.py --objective "
+                        "reference for the literal objective)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     args.steps = max(1, args.steps)

@@ -79,13 +79,23 @@ EARTH_RADIUS = 6378137.0  # the reference's Mercator constant (oxts_parser)
 # --------------------------------------------------------------------------
 
 def _render_drive(drive_dir, gt_dir, n_frames, h, w, focal, depth, tx,
-                  slant_deg, seed):
-    """Frames of a camera translating +x over a slanted textured plane.
+                  slant_deg, seed, scene="plane", n_objects=3):
+    """Frames of a camera translating +x through a synthetic world.
 
-    Same ray-plane math as data/synthetic.synthetic_triplet_batch (which
-    renders a 3-view triplet at cam_tx in {0, -tx, +tx}); here frame i is
-    rendered at cam_tx = i*tx so CONSECUTIVE frames form valid training
-    triplets, and per-frame ground-truth depth is the ray-length z."""
+    Same ray math as data/synthetic.synthetic_triplet_batch (which renders
+    a 3-view triplet at cam_tx in {0, -tx, +tx}); here frame i is rendered
+    at cam_tx = i*tx so CONSECUTIVE frames form valid training triplets,
+    and per-frame ground-truth depth is the ray z-depth.
+
+    scene="plane": the r3/r4 world — one slanted textured plane.
+    scene="multiobject" (VERDICT r4 next-step 2): the slanted ground
+    plane PLUS `n_objects` static textured billboards (fronto-parallel
+    world rectangles at distinct depths, z-buffered nearest-hit), giving
+    the head-to-head real depth DISCONTINUITIES, inter-object occlusion,
+    and surfaces at several rigid depths — the failure modes a
+    smoothness-filled plane world cannot expose. Billboard world-x
+    centers are spread along the camera's travel so objects enter and
+    leave view over the drive."""
     from PIL import Image
 
     sys.path.insert(0, REPO)
@@ -111,6 +121,34 @@ def _render_drive(drive_dir, gt_dir, n_frames, h, w, focal, depth, tx,
     dy = (vv - cy) / focal
     denom = np.maximum(1.0 - tan_a * dx, 1e-3)
 
+    objects = []
+    if scene == "multiobject":
+        travel = (n_frames - 1) * tx
+        for j in range(n_objects):
+            # nearer than the ground plane over most of the image;
+            # distinct depths with real gaps between them
+            dj = depth * (0.30 + 0.18 * j) * rng.uniform(0.9, 1.1)
+            half_wx = rng.uniform(0.55, 0.95) * dj * (w / 4.0) / focal
+            half_wy = rng.uniform(0.45, 0.8) * dj * (h / 4.0) / focal
+            # spread along the travel so each billboard crosses the view
+            xc = travel * (0.15 + 0.7 * (j + 0.5) / n_objects) + dj * (
+                rng.uniform(-0.1, 0.1)
+            )
+            yc = rng.uniform(-0.25, 0.25) * dj * (h / 2.0) / focal
+            obj_phases = np.stack(
+                [
+                    rng.uniform(0.3, 0.9, 8),
+                    rng.uniform(0.3, 0.9, 8),
+                    rng.uniform(0, 2 * np.pi, 8),
+                    rng.uniform(0, 2 * np.pi, 8),
+                ],
+                axis=-1,
+            )
+            objects.append((dj, xc - half_wx, xc + half_wx,
+                            yc - half_wy, yc + half_wy, obj_phases))
+        # z-buffer compositing walks far -> near
+        objects.sort(key=lambda o: -o[0])
+
     img_dir = os.path.join(drive_dir, "image_02", "data")
     oxts_dir = os.path.join(drive_dir, "oxts", "data")
     os.makedirs(img_dir, exist_ok=True)
@@ -131,7 +169,22 @@ def _render_drive(drive_dir, gt_dir, n_frames, h, w, focal, depth, tx,
         lam = (depth + tan_a * cam_tx) / denom
         su = (cam_tx + lam * dx) * focal / depth + cx
         sv = (lam * dy) * focal / depth + cy
-        img = (_texture(su, sv, phases) * 255.0).astype(np.uint8)
+        img = _texture(su, sv, phases)
+        for dj, x0, x1, y0, y1, obj_phases in objects:
+            # ray ^ z=dj plane in world coords (billboards are STATIC
+            # world objects: texture is a function of world coords only,
+            # so they parallax-shift rigidly with 1/dj)
+            px = cam_tx + dj * dx
+            py = dj * dy
+            inside = (
+                (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+                & (dj < lam)
+            )
+            tex = _texture((px - x0) * focal / dj, (py - y0) * focal / dj,
+                           obj_phases)
+            img[inside] = tex[inside]
+            lam = np.where(inside, dj, lam)
+        img = (img * 255.0).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(img_dir, f"{i:010d}.png"))
         gt16 = np.clip(lam * 256.0, 0, 65535).astype(np.uint16)
         Image.fromarray(gt16).save(os.path.join(gt_dir, f"{i:010d}.png"))
@@ -189,7 +242,8 @@ def phase_tree(args):
             os.path.join(date_dir, drive),
             os.path.join(date_dir, drive, "proj_depth"),
             n, args.height, args.width, args.focal, args.depth, args.tx,
-            args.slant_deg, seed=1234 + k,
+            args.slant_deg, seed=args.seed * 1000 + 1234 + k,
+            scene=args.scene, n_objects=args.n_objects,
         )
         key = "eval" if drive == EVAL_DRIVE else "train"
         for i in range(1, n - 1):
@@ -400,7 +454,7 @@ def _ref_config(args, split_path, epochs):
             "log_freq": 100,
             "from_scratch": True,
             "split": [1.0, 0.0],
-            "random_seed": 42,
+            "random_seed": args.seed,
             "batch_size": 4,  # transform.py:110 hardcodes batch 4
             "num_epochs": epochs,
             "num_workers": 0,  # 1-core host
@@ -418,7 +472,7 @@ def _ref_config(args, split_path, epochs):
 def phase_ref(args):
     import torch
 
-    torch.manual_seed(42)
+    torch.manual_seed(args.seed)
     sandbox = os.path.join(args.workdir, "ref_sandbox")
     os.makedirs(os.path.join(sandbox, "pretrained"), exist_ok=True)
     os.chdir(sandbox)
@@ -462,7 +516,7 @@ def phase_ref(args):
     from geometry.pose_geometry import disp_to_depth as ref_disp_to_depth
 
     eval_ds = RefDataset(eval_cfg, transforms=trainer.dataset.transforms)
-    preds, gts = [], []
+    preds, gts, pose_preds = [], [], []
     with torch.no_grad():
         for i in range(len(eval_ds)):
             s = eval_ds[i]
@@ -474,9 +528,16 @@ def phase_ref(args):
             # convert to meters here so both frameworks are scored in the
             # same units by the shared metric routine
             gts.append(s["groundtruth"].squeeze().cpu().numpy() / 256.0)
+            # pose head-to-head (VERDICT r4 next-step 3): the reference's
+            # own pose net on the held-out triplets, exactly as its
+            # trainer calls it (trainer.py:306)
+            refs = [r.unsqueeze(0) for r in s["ref_imgs"]]
+            pose = trainer.pose_model(s["tgt"].unsqueeze(0), refs)
+            pose_preds.append(pose.squeeze(0).cpu().numpy())
     np.savez(
         os.path.join(args.workdir, "ref_eval.npz"),
         preds=np.stack(preds), gts=np.stack(gts),
+        poses=np.stack(pose_preds),
     )
     out = {
         "framework": "reference (torch CPU, unmodified trainer)",
@@ -555,16 +616,18 @@ def phase_ours(args):
     eval_cfg = load_config(cfg_path)
     eval_cfg.datasets.split = os.path.join(args.workdir, "eval_split.txt")
     eval_ds = UnSupKittiDataset(eval_cfg)
-    fwd = jax.jit(
-        lambda p, bs, b: forward_batch(
+    def _fwd(p, bs, b):
+        disps_tgt, _, poses, _ = forward_batch(
             trainer.depth_model, trainer.pose_model, p, bs, b, train=False
-        )[0][0]
-    )
-    preds, gts = [], []
+        )
+        return disps_tgt[0], poses
+
+    fwd = jax.jit(_fwd)
+    preds, gts, pose_preds = [], [], []
     for batch in eval_ds.batches(
         range(len(eval_ds)), batch_size=1, num_workers=1, drop_last=False
     ):
-        disp0 = fwd(
+        disp0, poses = fwd(
             trainer.state.params, trainer.state.batch_stats,
             {k: batch[k] for k in ("tgt", "ref_imgs", "intrinsics", "oxts")},
         )
@@ -573,6 +636,7 @@ def phase_ours(args):
         # round-trips as raw void -> cast to float32 for the report phase
         preds.append(np.asarray(depth, dtype=np.float32)[0, ..., 0])
         gts.append(np.asarray(batch["groundtruth"], dtype=np.float32)[0])
+        pose_preds.append(np.asarray(poses, dtype=np.float32)[0])
     if args.tag:
         tag = f"_{args.tag}"
     else:
@@ -580,6 +644,7 @@ def phase_ours(args):
     np.savez(
         os.path.join(args.workdir, f"ours_eval{tag}.npz"),
         preds=np.stack(preds), gts=np.stack(gts),
+        poses=np.stack(pose_preds),
     )
     steps = trainer.steps_per_epoch * args.epochs
     out = {
@@ -626,9 +691,44 @@ def _depth_metrics(preds, gts):
     }
 
 
+def _pose_metrics(poses, tx):
+    """Numpy snippet-ATE + geodesic rotation error vs the closed-form
+    ground truth of this scene (camera translates +x by tx per frame:
+    tgt->ref0 = [+tx,0,0], tgt->ref1 = [-tx,0,0], rotation identity).
+
+    Same protocol as eval/pose.pose_errors (per-snippet least-squares
+    scale alignment of the predicted translations — monocular training
+    is scale-ambiguous — then RMSE over the snippet's frame positions);
+    implemented in plain numpy here so the report phase scores BOTH
+    frameworks with shared, framework-free code. poses: [N, 2, 6]
+    axis-angle+translation, the convention both stacks' warps train."""
+    poses = np.asarray(poses, dtype=np.float64)
+    t_pred = poses[:, :, 3:]  # [N, 2, 3]
+    t_gt = np.zeros_like(t_pred)
+    t_gt[:, 0, 0] = tx
+    t_gt[:, 1, 0] = -tx
+    num = np.sum(t_gt * t_pred, axis=(1, 2))
+    den = np.maximum(np.sum(t_pred * t_pred, axis=(1, 2)), 1e-12)
+    s = num / den  # per-snippet alignment scale
+    diff = s[:, None, None] * t_pred - t_gt
+    ate = np.sqrt(np.mean(np.sum(diff ** 2, axis=-1), axis=1))  # [N]
+
+    v = poses[:, :, :3].reshape(-1, 3)
+    theta = np.linalg.norm(v, axis=-1)  # GT rotation is identity, so the
+    # geodesic angle of R_pred @ I^T is just the axis-angle magnitude
+    rot_deg = np.degrees(theta).reshape(poses.shape[0], 2)
+    return {
+        "ate_m": round(float(np.mean(ate)), 5),
+        "rot_err_deg": round(float(np.mean(rot_deg)), 4),
+        "t_scale_mean": round(float(np.mean(s)), 3),
+    }
+
+
 def phase_report(args):
     report = {
         "scene": {
+            "kind": args.scene, "seed": args.seed,
+            "n_objects": args.n_objects if args.scene == "multiobject" else 0,
             "height": args.height, "width": args.width, "focal": args.focal,
             "plane_depth_m": args.depth, "tx_m_per_frame": args.tx,
             "slant_deg": args.slant_deg, "frames_per_train_drive": args.frames,
@@ -668,6 +768,8 @@ def phase_report(args):
             row = json.load(f)
         data = np.load(os.path.join(args.workdir, npz))
         row["eval"] = _depth_metrics(data["preds"], data["gts"])
+        if "poses" in data:
+            row["pose"] = _pose_metrics(data["poses"], args.tx)
         report[side] = row
     # constant-prediction floor: what a depth-less model scores after
     # median scaling on this scene (context for the learned numbers)
@@ -695,6 +797,8 @@ def phase_all(args):
         "--frames", str(args.frames), "--epochs", str(args.epochs),
         "--lr", str(args.lr), "--backend", args.backend,
         "--objective", args.objective,
+        "--scene", args.scene, "--n-objects", str(args.n_objects),
+        "--seed", str(args.seed),
     ] + (["--out", args.out] if args.out else [])
     # each phase in its own process: the ref phase's sys.modules shims
     # (fake torchvision/wandb, top-level 'models'/'geometry' packages)
@@ -725,15 +829,101 @@ def phase_all(args):
             ],
             check=True, timeout=3 * 3600,
         )
+    if not args.skip_ref_objective:
+        # the reference's LITERAL objective through our stack (4th row)
+        print("=== phase ours (reference objective) ===", flush=True)
+        ro = [a for a in base if a not in ("--objective", "production")]
+        subprocess.run(
+            ro[:2] + ["ours"] + ro[2:] + ["--objective", "reference"],
+            check=True, timeout=3600,
+        )
     print("=== phase report ===", flush=True)
     subprocess.run(base[:2] + ["report"] + base[2:], check=True,
                    timeout=300)
 
 
+def phase_suite(args):
+    """The round-5 protocol (VERDICT r4 next-steps 2+3): the r4 plane
+    scene (continuity row) plus the multi-object scene at THREE seeds,
+    each through the full 4-row phase_all protocol (reference / ours /
+    equal-wall-clock / reference-objective) with pose rows, merged into
+    one benchmarks/REFLOOP.json."""
+    script = os.path.abspath(__file__)
+    runs = [("plane", 42, "plane")] + [
+        (f"mo_s{s}", s, "multiobject") for s in (1, 2, 3)
+    ]
+    merged = {"protocol_version": 2, "runs": {}}
+    for name, seed, scene in runs:
+        workdir = f"{args.workdir}_{name}"
+        out = os.path.join(workdir, "report.json")
+        cmd = [
+            sys.executable, script, "all",
+            "--root", args.root, "--workdir", workdir,
+            "--height", str(args.height), "--width", str(args.width),
+            "--focal", str(args.focal), "--depth", str(args.depth),
+            "--tx", str(args.tx), "--slant-deg", str(args.slant_deg),
+            "--frames", str(args.frames), "--epochs", str(args.epochs),
+            "--lr", str(args.lr), "--backend", args.backend,
+            "--scene", scene, "--seed", str(seed),
+            "--n-objects", str(args.n_objects),
+            "--ref-timeout", str(args.ref_timeout),
+            "--out", out,
+        ]
+        print(f"===== suite run {name} (scene={scene}, seed={seed}) =====",
+              flush=True)
+        subprocess.run(cmd, check=True, timeout=4 * 3600)
+        with open(out) as f:
+            merged["runs"][name] = json.load(f)
+
+    # aggregate the multi-object seeds: mean / min / max per row+metric,
+    # and the all-seeds win verdicts the protocol is for
+    mo = [merged["runs"][f"mo_s{s}"] for s in (1, 2, 3)]
+
+    def agg(row, metric):
+        vals = [r[row]["eval"][metric] for r in mo if row in r]
+        return {
+            "mean": round(float(np.mean(vals)), 4),
+            "min": round(float(np.min(vals)), 4),
+            "max": round(float(np.max(vals)), 4),
+        }
+
+    rows = ("reference", "ours", "ours_equal_time",
+            "ours_reference_objective")
+    merged["multiobject_aggregate"] = {
+        row: {m: agg(row, m) for m in ("abs_rel", "sq_rel", "rmse", "a1")}
+        for row in rows
+        if all(row in r for r in mo)
+    }
+    merged["ours_beats_reference_all_seeds"] = {
+        "equal_steps": all(
+            r["ours"]["eval"]["abs_rel"] < r["reference"]["eval"]["abs_rel"]
+            and r["ours"]["eval"]["a1"] > r["reference"]["eval"]["a1"]
+            for r in mo
+        ),
+        "equal_wall_clock": all(
+            r.get("ours_equal_time", r["ours"])["eval"]["abs_rel"]
+            < r["reference"]["eval"]["abs_rel"]
+            for r in mo
+        ),
+        "pose_ate": all(
+            r["ours"]["pose"]["ate_m"] <= r["reference"]["pose"]["ate_m"]
+            for r in mo
+            if "pose" in r.get("ours", {}) and "pose" in r.get("reference", {})
+        ),
+    }
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "REFLOOP.json"
+    )
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(f"suite report -> {out}")
+    print(json.dumps(merged["ours_beats_reference_all_seeds"], indent=2))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("phase", choices=("tree", "ref", "ours", "report",
-                                          "all"))
+                                          "all", "suite"))
     parser.add_argument("--root", default="/tmp/refloop_kitt",
                         help="tree root; MUST be 17 chars (see module doc)")
     parser.add_argument("--workdir", default="/tmp/refloop_work")
@@ -766,10 +956,24 @@ def main():
                         "'equal_time' -> ours_result_equal_time.json)")
     parser.add_argument("--note", default="",
                         help="protocol note recorded with a tagged row")
+    parser.add_argument("--scene", default="plane",
+                        choices=("plane", "multiobject"),
+                        help="'plane' = the r3/r4 slanted-plane world; "
+                        "'multiobject' = ground plane + static textured "
+                        "billboards at distinct depths (depth "
+                        "discontinuities + occlusion)")
+    parser.add_argument("--n-objects", type=int, default=3)
+    parser.add_argument("--seed", type=int, default=42,
+                        help="run seed: offsets the scene-texture/geometry "
+                        "seeds and both stacks' training seeds")
+    parser.add_argument("--skip-ref-objective", action="store_true",
+                        help="phase_all: skip the ours-with-reference-"
+                        "objective row")
     args = parser.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     {"tree": phase_tree, "ref": phase_ref, "ours": phase_ours,
-     "report": phase_report, "all": phase_all}[args.phase](args)
+     "report": phase_report, "all": phase_all,
+     "suite": phase_suite}[args.phase](args)
 
 
 if __name__ == "__main__":

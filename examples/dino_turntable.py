@@ -195,7 +195,7 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
     # raw-depth warp sample lands out of frame and the 'mean' objective
     # parks in its zeros-warp basin (loss flat at mean|tgt|, r4 measured).
     # Per-image mean-normalized depth warps at scale ~1 from step 0 (the
-    # production conditioning, losses/total.py:_mean_normalize); the known
+    # production conditioning, losses/total.py:normalize_depth); the known
     # OXTS poses are already in scene units so nothing else moves.
     step = make_train_step(
         depth_model, pose_model, tx, donate=False, warp_impl="gather",
@@ -210,6 +210,7 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
             {k: jnp.asarray(v[idx]) for k, v in data.items()}
         )
 
+    from unsupervised_pseuso_lidar_tpu.losses.total import normalize_depth
     from unsupervised_pseuso_lidar_tpu.train.trainer import (
         normalize_uint8_batch,
     )
@@ -227,11 +228,7 @@ def run(steps: int = 400, batch: int = 8, height: int = 192,
         # warp with the SAME per-image mean-normalized depth the training
         # objective uses (monocular depth is scale-ambiguous; the raw
         # 1/(10s+0.01) scale is meaningless in the turntable's units)
-        from unsupervised_pseuso_lidar_tpu.losses.total import (
-            _mean_normalize,
-        )
-
-        depth = _mean_normalize(depth)
+        depth = normalize_depth(depth)
         t0 = pose_matrix(b["oxts"][:, 0])
         warped = inverse_warp_from_matrix(
             ref, depth, t0, b["intrinsics"], impl="gather"

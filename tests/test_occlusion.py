@@ -207,8 +207,10 @@ class TestAutomaskWarmup:
 
     def test_zero_ident_pixels_stay_masked_at_any_scale(self):
         # the camera-locked patch (identity error == 0) must remain
-        # automasked even mid-warmup: ident*scale == 1e-5*scale, far
-        # below the patch's reprojection error at ground truth
+        # automasked even mid-warmup: the ramp scales ONLY the identity
+        # term (0 * scale) and adds the 1e-5 tie-break after, so the
+        # patch's threshold stays 1e-5 at every warmup scale — far below
+        # its reprojection error at ground truth
         args = self._args("camera_locked")
         warmup = float(
             min_reprojection_loss(*args, automask=True, ident_scale=1e4)

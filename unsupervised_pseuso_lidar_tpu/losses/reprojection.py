@@ -313,16 +313,24 @@ def min_reprojection_loss(
         # fp32 on purpose: at bf16 (relative eps ~8e-3) the 1e-5 nudge
         # rounds away against typical photometric errors (~0.1) and the
         # documented 'warp wins ties' behavior would silently not hold.
+        # scale ONLY the identity term, then add the epsilon: scaling the
+        # epsilon too would lift an exact-zero-identity (camera-locked)
+        # pixel's automask threshold to 1e-5 * ident_scale — 0.1 at the
+        # warmup start's 1e4 scale, a typical photometric-error magnitude
+        # — silently unmasking it mid-warmup and breaking the documented
+        # 'camera-locked pixels stay masked at any scale' guarantee.
+        # Identical at ident_scale == 1.
         ident = (
             jnp.minimum(
                 ident_pair[:batch], ident_pair[batch:]
             ).astype(jnp.float32)
+            * ident_scale
             + 1e-5
-        ) * ident_scale
+        )
         if bidirectional:
             ident_bwd = (
-                ident_pair[:batch].astype(jnp.float32) + 1e-5
-            ) * ident_scale
+                ident_pair[:batch].astype(jnp.float32) * ident_scale + 1e-5
+            )
 
     total = jnp.asarray(0.0, dtype=tgt.dtype)
     coverages = []

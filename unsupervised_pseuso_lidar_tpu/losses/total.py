@@ -19,8 +19,10 @@ from unsupervised_pseuso_lidar_tpu.losses.reprojection import reprojection_loss
 from unsupervised_pseuso_lidar_tpu.losses.smoothness import smooth_loss
 
 
-def _mean_normalize(depth: jax.Array) -> jax.Array:
-    """Per-image INVERSE-depth mean normalization:
+def normalize_depth(depth: jax.Array) -> jax.Array:
+    """Per-image INVERSE-depth mean normalization (public helper — the
+    eval/visualization paths that replicate the training-side depth
+    conditioning import this, e.g. examples/dino_turntable.py):
     depth * mean_i(1/depth), i.e. warp with mean(disp-scaled)/disp-scaled.
 
     Quotients the global-scale direction out of the warp: a uniform
@@ -42,6 +44,10 @@ def _mean_normalize(depth: jax.Array) -> jax.Array:
     inv = 1.0 / jnp.maximum(depth, 1e-7)
     m = jnp.mean(inv, axis=tuple(range(1, depth.ndim)), keepdims=True)
     return depth * m
+
+
+# backward-compatible private alias (pre-r5 import path)
+_mean_normalize = normalize_depth
 
 
 def total_loss(
@@ -84,7 +90,7 @@ def total_loss(
         disparity to saturation. 'disp' smooths the raw disparity maps
         (the monodepth2-standard, well-conditioned choice).
       depth_norm: per-image mean-normalize each depth map before warping
-        (see _mean_normalize) — kills the uniform-scale runaway; the pose
+        (see normalize_depth) — kills the uniform-scale runaway; the pose
         net then learns translation in scene-relative units. Off by
         default (reference parity); the production objective turns it on.
       ident_scale: mode='min' only — multiplier on the automask identity
@@ -98,7 +104,7 @@ def total_loss(
     """
     depths = [[disp_to_depth(d) for d in frame] for frame in disparities]
     if depth_norm:
-        depths = [[_mean_normalize(d) for d in frame] for frame in depths]
+        depths = [[normalize_depth(d) for d in frame] for frame in depths]
     if mode == "min":
         # monodepth2-style per-pixel minimum over refs with SSIM blend and
         # automasking (the reference's latent objective, losses.py:156-167,
