@@ -245,6 +245,21 @@ def main():
         ),
         "sec_per_step": round(dt, 4),
         "frames_per_sec": round(fps, 4),
+        # Analytic wider-box estimate so the chip-vs-1-core multiplier
+        # cannot be misread as a chip-vs-socket claim: the workload is
+        # conv-GEMM dominated, for which torch-CPU (oneDNN) scales
+        # near-linearly with cores until memory bandwidth saturates, so
+        # PERFECT linear scaling is the baseline-FAVORING bound. A
+        # same-generation 32-core server socket would score at most
+        # ~32x this row's fps; quote the chip-vs-socket multiplier
+        # against that, not against the 1-core row.
+        "analytic_scaling_note": (
+            "upper-bound fps on an N-core socket ~= N * frames_per_sec "
+            "(perfect linear conv-GEMM scaling, favors the baseline); "
+            "e.g. a 32-core socket bound is "
+            f"{round(32 * fps, 2)} fps"
+        ),
+        "analytic_32core_fps_upper_bound": round(32 * fps, 2),
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
