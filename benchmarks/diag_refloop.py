@@ -31,6 +31,9 @@ sys.path.insert(0, REPO)
 
 from benchmarks.reference_loop import _depth_metrics  # noqa: E402
 
+# default tree location (reference_loop.py defaults); --root/--workdir
+# point the harness at an independently rendered tree (e.g. the
+# multiobject scene) without racing a concurrently running suite
 WORKDIR = "/tmp/refloop_work"
 ROOT = "/tmp/refloop_kitt"
 
@@ -110,6 +113,12 @@ RUNS = {
     "mean_norm_f32": {"loss_mode": "mean", "depth_norm": True,
                       "smooth_on": "disp", "smooth_weight": 0.001,
                       "warp_impl": "gather", "precision": "fp32"},
+    # production objective + automask warmup ramp (the r4 knob whose
+    # ship/no-ship decision r5 settles by measurement, VERDICT item 4)
+    "prod_bf16_warmup300": {"loss_mode": "min", "depth_norm": True,
+                            "smooth_on": "disp", "smooth_weight": 0.001,
+                            "warp_impl": "pallas", "precision": "bf16",
+                            "automask_warmup": 300},
 }
 
 
@@ -128,6 +137,7 @@ def run_one(name, steps, eval_every, seed=42, lr=None, extra=None):
                                   "pose": {"lr": lr}}
     if extra:
         overrides.update(extra)
+    overrides.setdefault("random_seed", seed)
     config = _base_config(overrides)
     dtype = jnp.bfloat16 if config.action.precision == "bf16" else None
 
@@ -232,11 +242,18 @@ def main():
     ap.add_argument("--eval-every", type=int, default=50)
     ap.add_argument("--lr", type=float, default=0.0)
     ap.add_argument("--out", default="/tmp/diag_refloop.json")
+    ap.add_argument("--root", default="")
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
+    if args.root:
+        globals()["ROOT"] = args.root
+    if args.workdir:
+        globals()["WORKDIR"] = args.workdir
     results = []
     for name in args.runs:
         results.append(run_one(name, args.steps, args.eval_every,
-                               lr=args.lr or None))
+                               seed=args.seed, lr=args.lr or None))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")

@@ -1,0 +1,270 @@
+"""Production-resolution (1280x384) input-pipeline proof (VERDICT r4
+next-step 5; SURVEY §7 named risk).
+
+Until r5 every convergence/streaming number was 640x192: whether the
+process-pool PNG loader can sustain full-res decode against the measured
+44 fps step rate was unmeasured. This script measures, on a rendered
+1280x384 synthetic KITTI tree, through the REAL loader
+(data/kitti.UnSupKittiDataset.batches — PNG decode + resize + OXTS
+parse + collate):
+
+  1. loader-only throughput, cold (PNG decode) and warm (decoded-uint8
+     disk cache, datasets.cache_dir) — frames/sec on THIS host, plus the
+     implied core count needed to feed the device step rate;
+  2. a streaming epoch: loader -> prefetch_to_device -> jitted bf16
+     train step at b4 1280x384 (single-step driver: at ~91 ms/step the
+     launch latency the 640x192 epoch amortizes with unroll-8 is <3%);
+  3. a short preloaded-batch convergence run at 1280x384 (the loss must
+     move and the held-out abs_rel must beat the constant floor — proves
+     the full-res step TRAINS, not just times).
+
+Merges rows into benchmarks/REPORT.json:
+  loader_only_fps_1280x384_cold / _warm, loader_required_cores_1280x384,
+  streaming_epoch_fps_1280x384, hires_convergence_*.
+
+Usage:  python benchmarks/pipeline_1280.py [--frames 40] [--steps 200]
+(render ~2 min on this host; TPU step compile cached across runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from benchmarks.reference_loop import (  # noqa: E402
+    _depth_metrics,
+    _render_drive,
+    _write_calib,
+)
+
+H, W, FOCAL = 384, 1280, 540.0
+DATE = "2011_09_26"
+
+
+def build_tree(root, workdir, frames):
+    date_dir = os.path.join(root, DATE)
+    os.makedirs(date_dir, exist_ok=True)
+    os.makedirs(workdir, exist_ok=True)
+    _write_calib(date_dir, FOCAL, W / 2.0, H / 2.0)
+    drives = {
+        "2011_09_26_drive_0001_sync": ("train", frames),
+        "2011_09_26_drive_0002_sync": ("train", frames),
+        "2011_09_26_drive_0003_sync": ("eval", max(frames // 4, 5)),
+    }
+    splits = {"train": [], "eval": []}
+    for k, (drive, (key, n)) in enumerate(drives.items()):
+        ddir = os.path.join(date_dir, drive)
+        if not os.path.exists(
+            os.path.join(ddir, "image_02", "data", f"{n-1:010d}.png")
+        ):
+            _render_drive(
+                ddir, os.path.join(ddir, "proj_depth"), n, H, W, FOCAL,
+                depth=12.0, tx=0.15, slant_deg=30.0, seed=500 + k,
+            )
+        for i in range(1, n - 1):
+            img = lambda j: os.path.join(
+                ddir, "image_02", "data", f"{j:010d}.png"
+            )
+            gt = os.path.join(ddir, "proj_depth", f"{i:010d}.png")
+            splits[key].append(f"{img(i)} {img(i-1)} {img(i+1)} {gt}")
+    for key, lines in splits.items():
+        with open(os.path.join(workdir, f"{key}_split.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return splits
+
+
+def make_config(workdir, cache_dir=""):
+    from unsupervised_pseuso_lidar_tpu.train.config import Config
+
+    return Config.from_dict({
+        "model": {"name": "hires", "depth": {"name": "DispResNet"},
+                  "pose": {"name": "PoseNet"}},
+        "datasets": {
+            "path": "unused",
+            "split": os.path.join(workdir, "train_split.txt"),
+            "augmentation": {"image_width": W, "image_height": H,
+                             "shuffle": True},
+            "sequence_length": 3,
+            "dataset": ["KITTI"],
+            "cache_dir": cache_dir,
+        },
+        "action": {"batch_size": 4, "precision": "bf16",
+                   "warp_impl": "pallas", "num_epochs": 1},
+    })
+
+
+def time_loader(ds, label, num_workers, use_processes, max_samples=40):
+    n = 0
+    t0 = time.perf_counter()
+    for batch in ds.batches(
+        list(range(len(ds))), batch_size=4, num_workers=num_workers,
+        use_processes=use_processes, with_groundtruth=False,
+    ):
+        n += batch["tgt"].shape[0]
+        if n >= max_samples:
+            break
+    dt = time.perf_counter() - t0
+    fps = n / dt
+    print(f"loader[{label}]: {n} samples in {dt:.1f}s = {fps:.2f} fps")
+    return fps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--root", default="/tmp/hires_kitti")
+    ap.add_argument("--workdir", default="/tmp/hires_work")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "REPORT.json"))
+    args = ap.parse_args()
+
+    build_tree(args.root, args.workdir, args.frames)
+    print("tree ready")
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_bench_cache")
+    )
+    from unsupervised_pseuso_lidar_tpu.data.kitti import UnSupKittiDataset
+    from unsupervised_pseuso_lidar_tpu.data.pipeline import prefetch_to_device
+    from unsupervised_pseuso_lidar_tpu.geometry.warp import disp_to_depth
+    from unsupervised_pseuso_lidar_tpu.train.trainer import (
+        create_train_state,
+        forward_batch,
+        make_train_step,
+    )
+    from unsupervised_pseuso_lidar_tpu.utils.profiling import hard_sync
+
+    rows = {}
+    cache_dir = os.path.join(args.workdir, "uint8_cache")
+
+    # --- 1. loader-only ---
+    cfg_cold = make_config(args.workdir)
+    ds_cold = UnSupKittiDataset(cfg_cold)
+    host_cores = os.cpu_count() or 1
+    fps_cold = time_loader(ds_cold, "cold png decode, threads",
+                           num_workers=2, use_processes=False)
+    cfg_warm = make_config(args.workdir, cache_dir=cache_dir)
+    ds_warm = UnSupKittiDataset(cfg_warm)
+    time_loader(ds_warm, "cache fill", num_workers=2, use_processes=False,
+                max_samples=len(ds_warm))
+    fps_warm = time_loader(ds_warm, "warm uint8 cache, threads",
+                           num_workers=2, use_processes=False)
+    rows["loader_only_fps_1280x384_cold"] = round(fps_cold, 2)
+    rows["loader_only_fps_1280x384_warm_cache"] = round(fps_warm, 2)
+    rows["loader_host_cpu_count"] = host_cores
+
+    # --- 2/3. device step + streaming epoch + convergence ---
+    config = make_config(args.workdir, cache_dir=cache_dir)
+    state, depth_model, pose_model, tx = create_train_state(
+        config, jax.random.PRNGKey(0), steps_per_epoch=100,
+        dtype=jnp.bfloat16,
+    )
+    objective = dict(loss_mode="min", depth_norm=True, smooth_on="disp",
+                     smooth_weight=0.001)
+    step = make_train_step(depth_model, pose_model, tx, warp_impl="pallas",
+                           col_band=256, **objective)
+
+    # preload every train batch once (uint8: 76 samples * 4.4 MB ~ 340 MB)
+    host_batches = list(ds_warm.batches(
+        list(range(len(ds_warm))), batch_size=4, num_workers=2,
+        with_groundtruth=False,
+    ))
+    dev0 = {k: jax.device_put(v) for k, v in host_batches[0].items()}
+    s = state
+    s, m = step(s, dev0)  # compile
+    hard_sync((s, m))
+
+    # device-only step rate (for the required-core computation)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        s, m = step(s, dev0)
+    hard_sync((s, m))
+    step_fps = 4.0 / ((time.perf_counter() - t0) / 10)
+    rows["train_step_b4_1280x384_bf16_fps_production"] = round(step_fps, 2)
+    rows["loader_required_cores_1280x384"] = int(
+        np.ceil(step_fps / max(fps_warm / min(host_cores, 2), 1e-6))
+        if host_cores else -1
+    )
+
+    # streaming epoch through the warm-cache loader
+    s2 = state
+    n = 0
+    t0 = None
+    it = ds_warm.batches(list(range(len(ds_warm))), batch_size=4,
+                         num_workers=2, with_groundtruth=False)
+    for b in prefetch_to_device(it, size=2):
+        s2, m2 = step(s2, b)
+        if t0 is None:
+            hard_sync((s2, m2))
+            t0 = time.perf_counter()
+            continue
+        n += 4
+    hard_sync((s2, m2))
+    fps_stream = n / (time.perf_counter() - t0)
+    rows["streaming_epoch_fps_1280x384"] = round(fps_stream, 2)
+    rows["streaming_epoch_fps_1280x384_note"] = (
+        f"warm uint8 cache, 2 thread workers on a {host_cores}-core host; "
+        "device step rate "
+        f"{rows['train_step_b4_1280x384_bf16_fps_production']} fps needs "
+        f"~{rows['loader_required_cores_1280x384']} cores to feed"
+    )
+
+    # convergence: cycle the preloaded batches on device
+    dev_batches = [
+        {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
+    ]
+    s3 = state
+    losses = []
+    for i in range(args.steps):
+        s3, m3 = step(s3, dev_batches[i % len(dev_batches)])
+        if i % 20 == 0 or i == args.steps - 1:
+            losses.append(round(float(m3["loss"]), 4))
+    # held-out eval vs rendered GT
+    eval_cfg = make_config(args.workdir, cache_dir=cache_dir)
+    eval_cfg.datasets.split = os.path.join(args.workdir, "eval_split.txt")
+    eval_ds = UnSupKittiDataset(eval_cfg)
+    fwd = jax.jit(lambda p, bs, b: forward_batch(
+        depth_model, pose_model, p, bs, b, train=False)[0][0])
+    preds, gts = [], []
+    for b in eval_ds.batches(list(range(len(eval_ds))), batch_size=1,
+                             num_workers=1, drop_last=False):
+        disp0 = fwd(s3.params, s3.batch_stats,
+                    {k: b[k] for k in ("tgt", "ref_imgs", "intrinsics",
+                                       "oxts")})
+        preds.append(np.asarray(disp_to_depth(disp0),
+                                dtype=np.float32)[0, ..., 0])
+        gts.append(np.asarray(b["groundtruth"], dtype=np.float32)[0])
+    metrics = _depth_metrics(np.stack(preds), np.stack(gts))
+    floor = _depth_metrics(
+        np.stack([np.full_like(g, 1.0) for g in gts]), np.stack(gts)
+    )
+    rows["hires_convergence_steps"] = args.steps
+    rows["hires_convergence_loss_curve"] = losses
+    rows["hires_convergence_abs_rel"] = metrics["abs_rel"]
+    rows["hires_convergence_a1"] = metrics["a1"]
+    rows["hires_constant_floor_abs_rel"] = floor["abs_rel"]
+
+    report = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            report = json.load(f)
+    report.update(rows)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -204,7 +204,12 @@ def main():
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--warp", default="pallas")
-    parser.add_argument("--col-band", type=int, default=0)
+    # production defaults = bench.py / configs/tpu_v5e.yaml (the r4 report
+    # accidentally profiled the cheaper 'mean' objective at auto col_band,
+    # which is why its totals disagreed with the bench headline)
+    parser.add_argument("--col-band", type=int, default=256)
+    parser.add_argument("--loss-mode", default="min",
+                        choices=("min", "mean"))
     args = parser.parse_args()
 
     import jax
@@ -246,9 +251,15 @@ def main():
     state, depth_model, pose_model, tx = create_train_state(
         config, jax.random.PRNGKey(0), 1000, dtype=jnp.bfloat16
     )
+    objective = dict(
+        loss_mode=args.loss_mode,
+        depth_norm=args.loss_mode == "min",
+        smooth_on="disp",
+        smooth_weight=0.001,
+    )
     step = make_train_step(
         depth_model, pose_model, tx, warp_impl=args.warp,
-        col_band=args.col_band or None, donate=False,
+        col_band=args.col_band or None, donate=False, **objective,
     )
     raw = synthetic_triplet_batch(args.batch, args.height, args.width, seed=0)
     batch = {
@@ -359,7 +370,8 @@ def main():
         "device": device_kind,
         "backend": jax.default_backend(),
         "config": f"b{args.batch} {args.width}x{args.height} bf16 "
-                  f"warp={args.warp}",
+                  f"warp={args.warp} loss={args.loss_mode} "
+                  f"col_band={args.col_band or 'auto'}",
         "peak_bf16_tflops": PEAK_BF16_TFLOPS,
         "hbm_gbps": HBM_GBPS,
         "trace_total_ms_per_step": round(total_measured, 3),

@@ -16,12 +16,18 @@ from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
 
 
 def _init(model_name, shape=(1, 64, 96, 3), pose=False):
+    from functools import partial
+
     model = build_model(model_name)
     x = jnp.zeros(shape)
+    # jit the init: the compiled program persists in tests/.jax_cache, so
+    # warm suite runs skip the compile and the eager per-op dispatch
     if pose:
-        variables = model.init(jax.random.PRNGKey(0), x, [x, x])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x, [x, x])
     else:
-        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        variables = jax.jit(partial(model.init, train=False))(
+            jax.random.PRNGKey(0), x
+        )
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     return model, params, stats

@@ -2,6 +2,8 @@
 architectures, and torch-oracle equivalence of the torch-compatible layers.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,11 +16,18 @@ RNG = np.random.default_rng(1)
 
 
 def _init_and_run(model, *args, train=False, method=None):
-    variables = model.init(jax.random.PRNGKey(0), *args, train=train) \
-        if _accepts_train(model) else model.init(jax.random.PRNGKey(0), *args)
+    # jit init+apply: the compiled programs land in the persistent cache
+    # (tests/.jax_cache), so warm suite runs skip both the compile AND
+    # the op-by-op eager dispatch a plain .init/.apply would pay
     if _accepts_train(model):
-        return model.apply(variables, *args, train=train), variables
-    return model.apply(variables, *args), variables
+        variables = jax.jit(partial(model.init, train=train))(
+            jax.random.PRNGKey(0), *args
+        )
+        out = jax.jit(partial(model.apply, train=train))(variables, *args)
+    else:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
+        out = jax.jit(model.apply)(variables, *args)
+    return out, variables
 
 
 def _accepts_train(model):
@@ -72,11 +81,16 @@ class TestTorchLayers:
             x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
             model = Conv3x3(8)
             variables = model.init(jax.random.PRNGKey(1), x)
-            ours = model.apply(variables, x)
-            ref = Oracle(8).apply(variables, x)  # same single-Conv tree
+            ours = jax.jit(model.apply)(variables, x)
+            # same single-Conv tree
+            ref = jax.jit(Oracle(8).apply)(variables, x)
             np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
-            g1 = jax.grad(lambda t: jnp.sum(jnp.sin(model.apply(variables, t))))(x)
-            g2 = jax.grad(lambda t: jnp.sum(jnp.sin(Oracle(8).apply(variables, t))))(x)
+            g1 = jax.jit(jax.grad(
+                lambda t: jnp.sum(jnp.sin(model.apply(variables, t)))
+            ))(x)
+            g2 = jax.jit(jax.grad(
+                lambda t: jnp.sum(jnp.sin(Oracle(8).apply(variables, t)))
+            ))(x)
             np.testing.assert_allclose(
                 np.asarray(g1), np.asarray(g2), atol=1e-5
             )
@@ -200,12 +214,15 @@ class TestTorchLayers:
             x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
             plain = DispResNet(s2d_tail=False)
             s2d = DispResNet(s2d_tail=True)
-            variables = plain.init(jax.random.PRNGKey(1), x, train=False)
+            init = jax.jit(partial(plain.init, train=False))
+            variables = init(jax.random.PRNGKey(1), x)
             assert jax.tree_util.tree_structure(
-                s2d.init(jax.random.PRNGKey(1), x, train=False)
+                jax.jit(partial(s2d.init, train=False))(
+                    jax.random.PRNGKey(1), x
+                )
             ) == jax.tree_util.tree_structure(variables)
-            ref = plain.apply(variables, x, train=False)[0]
-            got = s2d.apply(variables, x, train=False)[0]
+            ref = jax.jit(partial(plain.apply, train=False))(variables, x)[0]
+            got = jax.jit(partial(s2d.apply, train=False))(variables, x)[0]
             assert got.shape == ref.shape
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), atol=2e-6
@@ -221,8 +238,8 @@ class TestTorchLayers:
                 return jnp.sum(jnp.sin(7.0 * out))
             return f
 
-        g1 = jax.grad(scalar_loss(plain))(variables["params"])
-        g2 = jax.grad(scalar_loss(s2d))(variables["params"])
+        g1 = jax.jit(jax.grad(scalar_loss(plain)))(variables["params"])
+        g2 = jax.jit(jax.grad(scalar_loss(s2d)))(variables["params"])
         # grads agree to float reassociation noise (verified 1e-12 in
         # f64): compare RELATIVE to each leaf's magnitude — decoder-tail
         # grad sums reach O(1e4) here
