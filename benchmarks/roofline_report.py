@@ -282,10 +282,18 @@ def main():
                  trace_dir=tmp, verbose=False)
     dumps = sorted(glob.glob(os.path.join(tmp, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
+    # trace event names are FULL HLO instruction lines; key by the exact
+    # lhs symbol. (The r4 report prefix-matched "fusion.2*" onto
+    # fusion.23/fusion.234/... and summed every line whose TEXT mentioned
+    # a custom-call OPERAND into the warp bucket — both systematically
+    # inflated; r4's conv/warp family totals are superseded by this run.)
     measured = {}
+    measured_rhs = {}
     if dumps:
         for name, ms, _count in summarize_xplane(dumps[-1], collapse=False):
-            measured[name.lstrip("%")] = ms / args.steps
+            lhs = name.split(" = ")[0].strip().lstrip("%")
+            measured[lhs] = measured.get(lhs, 0.0) + ms / args.steps
+            measured_rhs[lhs] = name.split(" = ", 1)[-1]
     total_measured = sum(measured.values())
 
     # attribute each executed instruction's time to its conv(s); a fusion
@@ -299,10 +307,6 @@ def main():
     matched = 0
     for host, cs in host_convs.items():
         ms = measured.get(host)
-        if ms is None:
-            # scheduler renames: try prefix match
-            cands = [v for k, v in measured.items() if k.startswith(host)]
-            ms = sum(cands) if cands else None
         if ms is None:
             for c in cs:
                 c["measured_ms"] = None
@@ -331,10 +335,13 @@ def main():
         else:
             f["measured_ms"] += c["measured_ms"]
 
-    # the Pallas warp custom call (opaque to the HLO parse above)
+    # the Pallas custom calls (opaque to the HLO parse above): only
+    # instructions whose own OPCODE is custom-call, identified from the
+    # rhs text (operand mentions don't count)
     warp_measured = sum(
         ms for name, ms in measured.items()
-        if "custom-call" in name or "custom_call" in name
+        if re.search(r"\)?\s*custom-call\(", measured_rhs.get(name, ""))
+        and "tpu_custom_call" in measured_rhs.get(name, "")
     )
     warp_roofline = None
     if args.warp == "pallas":
