@@ -869,9 +869,13 @@ def phase_suite(args):
             "--ref-timeout", str(args.ref_timeout),
             "--out", out,
         ]
-        print(f"===== suite run {name} (scene={scene}, seed={seed}) =====",
-              flush=True)
-        subprocess.run(cmd, check=True, timeout=4 * 3600)
+        if args.merge_only and os.path.exists(out):
+            print(f"===== suite run {name}: reusing existing {out} =====",
+                  flush=True)
+        else:
+            print(f"===== suite run {name} (scene={scene}, seed={seed}) "
+                  "=====", flush=True)
+            subprocess.run(cmd, check=True, timeout=4 * 3600)
         with open(out) as f:
             merged["runs"][name] = json.load(f)
 
@@ -893,6 +897,24 @@ def phase_suite(args):
         row: {m: agg(row, m) for m in ("abs_rel", "sq_rel", "rmse", "a1")}
         for row in rows
         if all(row in r for r in mo)
+    }
+    def wins(row_key, metric, higher_better=False):
+        out = []
+        for r in mo:
+            row = r.get(row_key, r["ours"])
+            a, b = row["eval"][metric], r["reference"]["eval"][metric]
+            out.append(a > b if higher_better else a < b)
+        return out
+
+    merged["ours_beats_reference_per_seed"] = {
+        "equal_steps": {
+            m: wins("ours", m, higher_better=(m == "a1"))
+            for m in ("abs_rel", "sq_rel", "rmse", "a1")
+        },
+        "equal_wall_clock": {
+            m: wins("ours_equal_time", m, higher_better=(m == "a1"))
+            for m in ("abs_rel", "sq_rel", "rmse", "a1")
+        },
     }
     merged["ours_beats_reference_all_seeds"] = {
         "equal_steps": all(
@@ -969,6 +991,10 @@ def main():
     parser.add_argument("--skip-ref-objective", action="store_true",
                         help="phase_all: skip the ours-with-reference-"
                         "objective row")
+    parser.add_argument("--merge-only", action="store_true",
+                        help="suite: reuse each run's existing report.json "
+                        "instead of re-running it (re-merge after an "
+                        "aggregate-logic change)")
     args = parser.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     {"tree": phase_tree, "ref": phase_ref, "ours": phase_ours,
