@@ -173,8 +173,11 @@ def main():
     )
     objective = dict(loss_mode="min", depth_norm=True, smooth_on="disp",
                      smooth_weight=0.001)
+    # donate=False: the script reuses `state` as the fresh-init starting
+    # point for the rate loop, the streaming epoch, AND the convergence
+    # run — donation would hand its buffers to the first step call
     step = make_train_step(depth_model, pose_model, tx, warp_impl="pallas",
-                           col_band=256, **objective)
+                           col_band=256, donate=False, **objective)
 
     # preload every train batch once (uint8: 76 samples * 4.4 MB ~ 340 MB)
     host_batches = list(ds_warm.batches(
@@ -185,6 +188,7 @@ def main():
     s = state
     s, m = step(s, dev0)  # compile
     hard_sync((s, m))
+    print("step compiled; loss", float(m["loss"]))
 
     # device-only step rate (for the required-core computation)
     t0 = time.perf_counter()
@@ -192,10 +196,17 @@ def main():
         s, m = step(s, dev0)
     hard_sync((s, m))
     step_fps = 4.0 / ((time.perf_counter() - t0) / 10)
+    print(f"device step rate: {step_fps:.2f} fps")
     rows["train_step_b4_1280x384_bf16_fps_production"] = round(step_fps, 2)
-    rows["loader_required_cores_1280x384"] = int(
-        np.ceil(step_fps / max(fps_warm / min(host_cores, 2), 1e-6))
-        if host_cores else -1
+    # cores needed for a COLD (PNG-decoding) epoch to keep up with the
+    # device: the measured cold rate is per-core on this 1-core host
+    # (process workers scale it ~linearly on wider hosts); warm-cache
+    # epochs need just one core (fps_warm >> step_fps)
+    rows["loader_required_cores_1280x384_cold_epoch"] = int(
+        np.ceil(step_fps / max(fps_cold, 1e-6))
+    )
+    rows["loader_required_cores_1280x384_warm_epoch"] = int(
+        np.ceil(step_fps / max(fps_warm, 1e-6))
     )
 
     # streaming epoch through the warm-cache loader
@@ -214,11 +225,37 @@ def main():
     hard_sync((s2, m2))
     fps_stream = n / (time.perf_counter() - t0)
     rows["streaming_epoch_fps_1280x384"] = round(fps_stream, 2)
+
+    # preloaded-epoch rate: every batch staged to device BEFORE stepping,
+    # then cycled. Measured r5: interleaving device_put (or ANY program)
+    # with in-flight train steps collapses tunnel throughput ~10-30x
+    # (640x192 b12: 48.9 ms/step cycling preloaded buffers vs 1397 ms
+    # when each step's batch is device_put in the loop; the pure transfer
+    # is 10.8 ms at 1.6 GB/s) — a current-tunnel serialization pathology,
+    # NOT host-pipeline starvation (the warm loader above outruns the
+    # step rate) and NOT present when r2 measured 700 MB/s overlapped
+    # streaming. docs/PERFORMANCE.md §4a.
+    dev_epoch = [
+        {k: jax.device_put(v) for k, v in hb.items()} for hb in host_batches
+    ]
+    jax.block_until_ready(dev_epoch)
+    s4 = state
+    s4, m4 = step(s4, dev_epoch[0])
+    hard_sync((s4, m4))
+    t0 = time.perf_counter()
+    for i, b in enumerate(dev_epoch):
+        s4, m4 = step(s4, b)
+    hard_sync((s4, m4))
+    fps_pre = 4.0 * len(dev_epoch) / (time.perf_counter() - t0)
+    rows["epoch_fps_1280x384_preloaded_batches"] = round(fps_pre, 2)
     rows["streaming_epoch_fps_1280x384_note"] = (
-        f"warm uint8 cache, 2 thread workers on a {host_cores}-core host; "
-        "device step rate "
-        f"{rows['train_step_b4_1280x384_bf16_fps_production']} fps needs "
-        f"~{rows['loader_required_cores_1280x384']} cores to feed"
+        f"warm uint8 cache, 2 thread workers on a {host_cores}-core host. "
+        "The gap between the streaming rate and the preloaded-epoch rate "
+        f"({round(fps_pre, 1)} fps) is the dev tunnel's put-vs-compute "
+        "serialization pathology (measured r5, docs/PERFORMANCE.md §4a), "
+        "not loader starvation: the warm loader alone sustains "
+        f"{rows['loader_only_fps_1280x384_warm_cache']} fps against a "
+        f"{rows['train_step_b4_1280x384_bf16_fps_production']} fps step"
     )
 
     # convergence: cycle the preloaded batches on device

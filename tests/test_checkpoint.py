@@ -1,6 +1,8 @@
 """Checkpoint tests: torch<->flax state-dict round trips (the sfm.pth
 compatibility path, SURVEY.md §7) and orbax persistence."""
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,8 +18,6 @@ from unsupervised_pseuso_lidar_tpu.train.checkpoint import (
 
 
 def _init(model_name, shape=(1, 64, 96, 3), pose=False):
-    from functools import partial
-
     model = build_model(model_name)
     x = jnp.zeros(shape)
     # jit the init: the compiled program persists in tests/.jax_cache, so
@@ -150,7 +150,9 @@ def test_stn_dispnet_roundtrip_with_stn_branch():
     model computes the SAME function."""
     model = build_model("StnDispNet", use_stn=True)
     x = jnp.zeros((1, 64, 96, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), x
+    )
     params = _randomize(variables["params"], seed=7)
     stats = variables.get("batch_stats", {})
 
@@ -197,7 +199,9 @@ def test_stn_dispnet_dead_branch_interop():
     use_stn=True model loads it."""
     model_plain = build_model("StnDispNet")
     x = jnp.zeros((1, 64, 96, 3))
-    v = model_plain.init(jax.random.PRNGKey(0), x, train=False)
+    v = jax.jit(partial(model_plain.init, train=False))(
+        jax.random.PRNGKey(0), x
+    )
     params = _randomize(v["params"], seed=9)
 
     sd = export_torch_state(params, {}, "StnDispNet")
@@ -216,7 +220,9 @@ def test_stn_dispnet_dead_branch_interop():
     # reference's fixed 384x1280 fc_loc resolution): the branch is left
     # at its identity init rather than corrupted -> same function
     model_stn = build_model("StnDispNet", use_stn=True)
-    v_stn = model_stn.init(jax.random.PRNGKey(1), x, train=False)
+    v_stn = jax.jit(partial(model_stn.init, train=False))(
+        jax.random.PRNGKey(1), x
+    )
     params_stn, _ = import_torch_state(v_stn["params"], {}, sd, "StnDispNet")
     rng = np.random.default_rng(3)
     img = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)), jnp.float32)

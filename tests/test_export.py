@@ -32,7 +32,11 @@ RNG = np.random.default_rng(7)
 def depth_setup():
     model = build_model("DispResNet")
     img0 = jnp.zeros((1, 64, 96, 3))
-    variables = model.init(jax.random.PRNGKey(0), img0, train=False)
+    from functools import partial
+
+    variables = jax.jit(partial(model.init, train=False))(
+        jax.random.PRNGKey(0), img0
+    )
     fn = make_depth_fn(model, variables)
     return model, variables, fn
 
@@ -224,7 +228,11 @@ class TestBtsExport:
 
         model = build_model("BtsModel")
         img = _img(1)
-        variables = model.init(jax.random.PRNGKey(0), img, train=False)
+        from functools import partial
+
+        variables = jax.jit(partial(model.init, train=False))(
+            jax.random.PRNGKey(0), img
+        )
         fn = make_depth_fn(model, variables, metric_output=True)
         path = str(tmp_path / "bts.stablehlo")
         export_program(fn, [concrete_spec(img)], path, platforms=("cpu",))

@@ -228,12 +228,20 @@ class TestTorchLayers:
                 np.asarray(got), np.asarray(ref), atol=2e-6
             )
 
+        # gradient equivalence at a small odd shape (full-model CPU grads
+        # are the expensive part of this test; the fwd loop above already
+        # covered the larger shapes)
+        xg = jnp.asarray(RNG.uniform(-1, 1, (1, 31, 43, 3)).astype(np.float32))
+        variables = jax.jit(partial(plain.init, train=False))(
+            jax.random.PRNGKey(1), xg
+        )
+
         def scalar_loss(model):
             def f(params):
                 out = model.apply(
                     {"params": params,
                      "batch_stats": variables["batch_stats"]},
-                    x, train=False,
+                    xg, train=False,
                 )[0]
                 return jnp.sum(jnp.sin(7.0 * out))
             return f

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from typing import Optional, Tuple
+from uuid import uuid4
 
 import numpy as np
 
@@ -113,7 +115,11 @@ def load_image_uint8_cached(
             pass
     arr, orig_h, orig_w = load_image_uint8(path, size_hw)
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = cpath + f".tmp{os.getpid()}"
+    # unique per writer: THREAD workers share a pid, and neighboring
+    # triplets share frames, so two threads can decode the same path
+    # concurrently — a pid-only suffix made one writer clobber (and then
+    # os.replace fail on) the other's tmp file
+    tmp = cpath + f".tmp{os.getpid()}-{threading.get_ident()}-{uuid4().hex[:8]}"
     with open(tmp, "wb") as f:  # atomic publish: decode races write twice,
         np.savez(f, img=arr, h=orig_h, w=orig_w)  # never read half a file
     os.replace(tmp, cpath)
