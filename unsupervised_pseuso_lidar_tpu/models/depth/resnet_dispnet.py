@@ -42,6 +42,11 @@ RESNET_STAGE_BLOCKS = {
 # (/root/reference/models/depth/resnet_dispnet.py:20-32)
 BOTTLENECK_DEPTHS = frozenset({50, 101, 152})
 
+# largest traced batch at which the space-to-depth decoder tail still
+# wins (see DepthDecoder.s2d_tail: measured win at 24 and 32, loss at
+# 64 — the batch-minor layout waste it removes shrinks as batch/128)
+S2D_TAIL_MAX_BATCH = 32
+
 
 class BasicBlock(nn.Module):
     """ResNet v1 basic block: 3x3 conv-bn-relu, 3x3 conv-bn, skip, relu."""
@@ -196,6 +201,13 @@ class DepthDecoder(nn.Module):
     # benchmarks/conv_diag.py). Exact same math (bias/ELU/sigmoid commute
     # with depth-to-space; conv via _s2d_full3x3_kernel + reflect ring),
     # identical parameters/checkpoint paths either way.
+    #
+    # BATCH-GATED at trace time: the layout pathology this fixes scales
+    # as 128/batch, so the win inverts once the batch fills the lanes.
+    # Measured (640x192 bf16 'mean' step, v5e): batch 24 -> s2d wins
+    # (53.4 -> 44.8 ms), batch 32 -> wins (59.9 -> 50.6), batch 64 ->
+    # LOSES (94.4 -> 145.5). The phase path therefore engages only when
+    # the traced batch <= S2D_TAIL_MAX_BATCH.
     s2d_tail: bool = True
     dtype: jnp.dtype | None = None
 
@@ -212,8 +224,12 @@ class DepthDecoder(nn.Module):
         num_ch_dec = (16, 32, 64, 128, 256)
         outputs = {}
         x = input_features[-1]
+        use_s2d_tail = (
+            self.s2d_tail
+            and input_features[-1].shape[0] <= S2D_TAIL_MAX_BATCH
+        )
         for i in range(4, -1, -1):
-            s2d = self.s2d_tail and i == 0
+            s2d = use_s2d_tail and i == 0
             x = ConvBlock(num_ch_dec[i], dtype=self.dtype)(x)
             if self.use_skips and i > 0:
                 x = upsample2x_nearest(x)
