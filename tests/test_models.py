@@ -210,7 +210,11 @@ class TestTorchLayers:
             DispResNet,
         )
 
-        for shape in [(1, 64, 96, 3), (1, 47, 83, 3)]:
+        # the odd (raw-KITTI-geometry) shape strictly subsumes the even
+        # case: it exercises the reflect ring, the ceil-crop, AND the odd
+        # interleave edge — one shape keeps the trace count (the warm-run
+        # cost on this host) halved
+        for shape in [(1, 47, 83, 3)]:
             x = jnp.asarray(RNG.uniform(-1, 1, shape).astype(np.float32))
             plain = DispResNet(s2d_tail=False)
             s2d = DispResNet(s2d_tail=True)
@@ -326,7 +330,11 @@ class TestDepthModels:
         # + monodepth2 DepthDecoder (scales 0-3): 3,152,724
         model = build_model("DispResNet")
         x = jnp.zeros((1, 64, 96, 3))
-        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        # eval_shape: a parameter COUNT needs shapes only — no init
+        # compute (the eager init cost 34 s/run on this 1-core host)
+        variables = jax.eval_shape(
+            partial(model.init, train=False), jax.random.PRNGKey(0), x
+        )
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
         assert n == 11_176_512 + 3_152_724 == 14_329_236, n
 

@@ -224,9 +224,13 @@ class DepthDecoder(nn.Module):
         num_ch_dec = (16, 32, 64, 128, 256)
         outputs = {}
         x = input_features[-1]
+        # symbolic batch (jax_export batch polymorphism) is undecidable
+        # against the threshold -> take the batch-agnostic plain path
+        batch_dim = input_features[-1].shape[0]
         use_s2d_tail = (
             self.s2d_tail
-            and input_features[-1].shape[0] <= S2D_TAIL_MAX_BATCH
+            and isinstance(batch_dim, int)
+            and batch_dim <= S2D_TAIL_MAX_BATCH
         )
         for i in range(4, -1, -1):
             s2d = use_s2d_tail and i == 0
