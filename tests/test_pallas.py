@@ -36,6 +36,30 @@ def test_identical_images_zero():
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(2, 8, 16, 3), (1, 2, 2, 1), (1, 17, 21, 2)])
+def test_ssim_bwd_pallas_matches_xla_vjp(shape):
+    """The fused backward kernel reproduces the exact (dx, dy) cotangents
+    of the jnp ssim_distance vjp — incl. the reflect-pad adjoint folds at
+    the border rows/cols and odd (non-lane-aligned) shapes."""
+    import jax
+
+    from unsupervised_pseuso_lidar_tpu.ops.pallas.photometric import (
+        ssim_bwd_pallas,
+    )
+
+    x = jnp.asarray(RNG.uniform(0, 1, shape), dtype=jnp.float32)
+    y = jnp.asarray(RNG.uniform(0, 1, shape), dtype=jnp.float32)
+    g = jnp.asarray(RNG.normal(size=shape), dtype=jnp.float32)
+    _, vjp = jax.vjp(ssim_distance, x, y)
+    dx_ref, dy_ref = vjp(g)
+    dx, dy = ssim_bwd_pallas(x, y, g, interpret=True)
+    scale = float(jnp.max(jnp.abs(dx_ref))) + 1e-8
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref),
+                               atol=3e-5 * scale)
+
+
 class TestFusedWarp:
     """grid_sample_mxu_fused (Pallas) vs the XLA band-matmul warp."""
 

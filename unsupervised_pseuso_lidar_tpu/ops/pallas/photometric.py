@@ -115,3 +115,132 @@ def photometric_map_pallas(
         interpret = not _on_tpu()
     return _call(pred, target, c1, c2, ssim_weight=ssim_weight,
                  interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused SSIM backward
+# ---------------------------------------------------------------------------
+#
+# The XLA vjp of the jnp SSIM recomputes the five box-filtered moments AND
+# runs five box-filter adjoints as separate activation-sized fusion passes
+# (~10 HBM round trips of the image volume per call). This kernel computes
+# the exact cotangents (dx, dy) in ONE pass: read x, y, g; every moment,
+# partial, and adjoint filter lives in VMEM for the (batch, channel) grid
+# cell; write dx, dy.
+
+
+def _box1d_adjoint(g: jax.Array, axis: int) -> jax.Array:
+    """Adjoint of the reflect-padded length-3 mean filter along `axis`.
+
+    Forward (per axis of length L): xp = concat(x[1:2], x, x[L-2:L-1]);
+    out[i] = (xp[i] + xp[i+1] + xp[i+2]) / 3. The adjoint is the ZERO-padded
+    box of the cotangent plus the two reflect folds: rows 0 / L-1 of g fold
+    into rows 1 / L-2 of the result (the pad rows were copies of interior
+    rows, so their cotangent accumulates there).
+    """
+    if axis == 1:
+        zero = jnp.zeros_like(g[:, 0:1])
+        gp = jnp.concatenate([zero, g, zero], axis=1)
+        out = (gp[:, :-2] + gp[:, 1:-1] + gp[:, 2:]) / 3.0
+        fold_lo = jnp.concatenate(
+            [zero, g[:, 0:1], jnp.zeros_like(g[:, 2:])], axis=1
+        )
+        fold_hi = jnp.concatenate(
+            [jnp.zeros_like(g[:, :-2]), g[:, -1:], zero], axis=1
+        )
+        return out + (fold_lo + fold_hi) / 3.0
+    zero = jnp.zeros_like(g[0:1, :])
+    gp = jnp.concatenate([zero, g, zero], axis=0)
+    out = (gp[:-2, :] + gp[1:-1, :] + gp[2:, :]) / 3.0
+    fold_top = jnp.concatenate(
+        [zero, g[0:1, :], jnp.zeros_like(g[2:, :])], axis=0
+    )
+    fold_bot = jnp.concatenate(
+        [jnp.zeros_like(g[:-2, :]), g[-1:, :], zero], axis=0
+    )
+    return out + (fold_top + fold_bot) / 3.0
+
+
+def _box3x3_reflect_adjoint_2d(g: jax.Array) -> jax.Array:
+    # forward = horizontal after vertical; adjoint composes in reverse
+    return _box1d_adjoint(_box1d_adjoint(g, 1), 0)
+
+
+def _ssim_bwd_kernel(x_ref, y_ref, g_ref, dx_ref, dy_ref, *, c1, c2):
+    x = x_ref[0, 0, :, :]
+    y = y_ref[0, 0, :, :]
+    g = g_ref[0, 0, :, :]
+
+    m1 = _box3x3_reflect_2d(x)
+    m2 = _box3x3_reflect_2d(y)
+    p1 = _box3x3_reflect_2d(x * x)
+    p2 = _box3x3_reflect_2d(y * y)
+    p3 = _box3x3_reflect_2d(x * y)
+
+    mu_xy = m1 * m2
+    a = 2.0 * mu_xy + c1
+    b = 2.0 * (p3 - mu_xy) + c2
+    c = m1 * m1 + m2 * m2 + c1
+    d = p1 + p2 - m1 * m1 - m2 * m2 + c2
+    s = (a * b) / (c * d)
+    raw = (1.0 - s) / 2.0
+    # clip(raw, 0, 1) gradient: pass inside the open interval (the exact
+    # tie raw == 0 — bit-identical patches — gets 0 here where the jnp
+    # autodiff would split the max-tie; identical inputs carry no useful
+    # photometric gradient either way)
+    mask = jnp.logical_and(raw > 0.0, raw < 1.0)
+    g_s = jnp.where(mask, g, 0.0) * (-0.5)
+
+    inv_cd = 1.0 / (c * d)
+    g_a = g_s * b * inv_cd
+    g_b = g_s * a * inv_cd
+    g_c = -g_s * s / c
+    g_d = -g_s * s / d
+
+    g_ab = g_a - g_b
+    g_cd = g_c - g_d
+    g_m1 = 2.0 * (m2 * g_ab + m1 * g_cd)
+    g_m2 = 2.0 * (m1 * g_ab + m2 * g_cd)
+    # g_p1 = g_p2 = g_d; g_p3 = 2*g_b
+    t_m1 = _box3x3_reflect_adjoint_2d(g_m1)
+    t_m2 = _box3x3_reflect_adjoint_2d(g_m2)
+    t_pd = _box3x3_reflect_adjoint_2d(g_d)
+    t_p3 = _box3x3_reflect_adjoint_2d(2.0 * g_b)
+
+    dx_ref[0, 0, :, :] = t_m1 + 2.0 * x * t_pd + y * t_p3
+    dy_ref[0, 0, :, :] = t_m2 + 2.0 * y * t_pd + x * t_p3
+
+
+def ssim_bwd_pallas(
+    x: jax.Array,
+    y: jax.Array,
+    g: jax.Array,
+    c1: float = 1e-4,
+    c2: float = 9e-4,
+    interpret: bool | None = None,
+):
+    """Exact (dx, dy) cotangents of ssim_distance in one fused pass."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    batch, height, width, channels = x.shape
+    xt = jnp.moveaxis(x, -1, 1)
+    yt = jnp.moveaxis(y, -1, 1)
+    gt = jnp.moveaxis(g, -1, 1)
+    kernel = functools.partial(_ssim_bwd_kernel, c1=c1, c2=c2)
+    spec = pl.BlockSpec(
+        (1, 1, height, width),
+        lambda b, c: (b, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dx, dy = pl.pallas_call(
+        kernel,
+        grid=(batch, channels),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(xt.shape, x.dtype),
+            jax.ShapeDtypeStruct(xt.shape, x.dtype),
+        ],
+        interpret=interpret,
+    )(xt, yt, gt)
+    return jnp.moveaxis(dx, 1, -1), jnp.moveaxis(dy, 1, -1)

@@ -94,6 +94,23 @@ def _ssim_fwd(x, y):
 
 def _ssim_bwd(residuals, g):
     x, y = residuals
+    if (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.float32
+        and _fits_vmem(x.shape)
+        and x.shape[1] >= 2
+        and x.shape[2] >= 2
+    ):
+        # fused one-pass backward: the XLA vjp of the jnp forward spends
+        # ~10 activation-sized HBM round trips recomputing the five
+        # box-filtered moments and running their adjoints as separate
+        # fusions; the Pallas kernel reads (x, y, g) once and writes
+        # (dx, dy) once (ops/pallas/photometric.ssim_bwd_pallas)
+        from unsupervised_pseuso_lidar_tpu.ops.pallas.photometric import (
+            ssim_bwd_pallas,
+        )
+
+        return ssim_bwd_pallas(x, y, g)
     _, vjp = jax.vjp(ssim_distance, x, y)
     return vjp(g)
 
